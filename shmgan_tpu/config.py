@@ -1,0 +1,239 @@
+"""Configuration surface for shmgan_tpu.
+
+One dataclass tree replaces the reference's argparse flags (main.py:30-70) plus the
+constants hardcoded inside the trainer class (ShmGANwithSSpecSeg.py:122-213).  Flags
+that are *dead* in the reference (parsed but never used, or overridden by hardcoded
+constants) are kept for CLI compatibility and documented as such.
+
+Reference flag -> field map (reference file:line):
+  --image_size (main.py:42)            -> model.image_size           (default 128)
+  --batch_size (main.py:43)            -> train.batch_size           (default 1; the
+                                           rebuild is batch-polymorphic, reference was
+                                           hardwired to 1)
+  --num_epochs (main.py:44)            -> train.num_epochs           (default 200)
+  --n_critic (main.py:45)              -> train.n_critic             (DEAD in reference)
+  --log_step (main.py:46)              -> train.log_step
+  --checkpoint_save_step (main.py:47)  -> train.checkpoint_save_step
+  --filter_size (main.py:50)           -> model.filter_size          (default 64)
+  --c_dim (main.py:51)                 -> model.c_dim                (re-hardcoded to 5
+                                           at ShmGANwithSSpecSeg.py:192)
+  --g_lr / --d_lr (main.py:52-53)      -> train.g_lr / train.d_lr    (reference uses the
+                                           G schedule for BOTH optimizers; d_lr is dead.
+                                           We honor d_lr and default it equal to g_lr.)
+  --beta1/--beta2 (main.py:54-55)      -> train.beta1 / train.beta2  (0.5 / 0.99)
+  --num_iteration_decay (main.py:56)   -> train.num_iteration_decay  (DEAD in reference)
+  --d_repeat_num (main.py:57)          -> model.d_repeat_num         (DEAD in reference)
+  --est_diffuse (main.py:36)           -> data.est_diffuse
+  --flip (main.py:37)                  -> data.flip                  (reference polarity
+                                           was inverted + frozen at dataset build,
+                                           datasetLoader.py:61; we implement the intent:
+                                           per-step random paired flip)
+  --mode (main.py:38)                  -> cli mode
+  --calc_metrics (main.py:39)          -> eval.calc_metrics
+  --delete_old_checkpoints (main.py:40)-> train.delete_old_checkpoints (reference
+                                           hardcodes False at :187)
+  dirs (main.py:60-66)                 -> data.* / train.* dirs
+  --num_iteration (main.py:69)         -> train.num_iteration        (DEAD in reference)
+
+Trainer-class constants (ShmGANwithSSpecSeg.py):
+  seed=25 (:157), randomness=0.50 (:158), dropout=0.2 (:159), TARGET_LABELS=0.90 (:161),
+  use_lsgan (:163), decay_steps=10000 rate=0.95 (:169-171), train_G_after=0 (:190),
+  g_conv_dim=64 / g_repeat_num=6 (:193-194), init N(0,0.02) (:200), alpha=0.84 (:212).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class ModelConfig:
+    image_size: int = 128
+    filter_size: int = 64          # base conv width for G and D
+    c_dim: int = 5                 # number of polarimetric domains (I0,I45,I90,I135,ED)
+    d_repeat_num: int = 6          # dead in reference; kept for CLI parity
+    # SpecSeg U-Net widths (SpecSeg.py:34-88): 16->32->64->128->256
+    specseg_base_filters: int = 16
+    # Instance-norm epsilon (tfa InstanceNormalization eps, ShmGANwithSSpecSeg.py:245)
+    instance_norm_eps: float = 1e-6
+    leaky_relu_slope: float = 0.2  # tf.nn.leaky_relu default alpha
+    # Discriminator GaussianNoise stddev (ShmGANwithSSpecSeg.py:352)
+    d_input_noise: float = 0.1
+    # Discriminator dropout (ShmGANwithSSpecSeg.py:159,363)
+    d_dropout: float = 0.2
+    # Parameter init stddev, DCGAN-style N(0, 0.02) (ShmGANwithSSpecSeg.py:200)
+    init_stddev: float = 0.02
+    # Compute dtype for the model bodies. Params are always f32; bf16 compute engages
+    # the MXU's native precision.  f32 is the parity mode.
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 1
+    num_epochs: int = 200
+    n_critic: int = 5              # dead in reference; kept for CLI parity
+    log_step: int = 1
+    checkpoint_save_step: int = 10
+    g_lr: float = 2e-5
+    d_lr: float = 2e-5
+    beta1: float = 0.5
+    beta2: float = 0.99
+    adam_eps: float = 1e-7         # keras Adam default epsilon
+    lr_decay_steps: int = 10000    # ShmGANwithSSpecSeg.py:169-171
+    lr_decay_rate: float = 0.95
+    num_iteration: int = 20000     # dead in reference
+    num_iteration_decay: int = 100000  # dead in reference
+    grad_clip: float = 1.0         # elementwise clip ±1 (ShmGANwithSSpecSeg.py:860,869)
+    seed: int = 25                 # ShmGANwithSSpecSeg.py:157
+    randomness: float = 0.50       # Bernoulli drop prob for input channels (:158)
+    target_label: float = 0.90     # base label smoothing value (:161)
+    target_label_low: float = 0.8  # per-step smoothing range (train loop :986)
+    target_label_high: float = 1.2
+    train_G_after: int = 0         # epochs before G updates begin (:190)
+    use_lsgan: bool = True
+    style_weight: float = 100.0    # NST loss weights (:824-825)
+    content_weight: float = 1.0
+    zhao_alpha: float = 0.84       # Zhao et al. SSIM+L1 alpha (:212; dead in totals)
+    delete_old_checkpoints: bool = False
+    checkpoint_save_dir: str = "./checkpoints"
+    model_save_dir: str = "./models"
+    result_dir: str = "./results"
+    log_dir: str = "./logs/train"
+    checkpoint_max_to_keep: int = 3
+    # Parity mode: scalar per-step Bernoulli channel dropout shared across the batch
+    # (the reference semantics at batch=1).  When False, dropout is drawn per-sample,
+    # which is the better-training generalization for batch>1.
+    scalar_channel_dropout: bool = True
+    # Auto-restore the latest checkpoint on train start (reference restores whenever
+    # delete_old_checkpoints is False, ShmGANwithSSpecSeg.py:949-951)
+    auto_resume: bool = True
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "./data/PolarizedSource"
+    test_dir: str = "./data/test"
+    diffuse_dir: str = "./data/test_diffuse"
+    est_diffuse: bool = True       # synthesize ED from the 4 views when folder absent
+    flip: bool = True              # per-step paired random up/down flip
+    # Sub-folder names for the five aligned views. The reference supports two naming
+    # schemes (datasetLoader.py:22-33); PSD naming is the active one there.
+    view_dirs: tuple = ("I0", "I45", "I90", "I135", "ED")
+    psd_view_dirs: tuple = ("I0", "I60", "I90", "I150", "ED")
+    use_psd_naming: bool = False
+    prefetch: int = 4              # host->device prefetch depth
+    num_workers: int = 4           # decode/resize worker threads
+    cache_in_memory: bool = True   # datasets are small; cache decoded f32 arrays
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh / parallelism layout (ABSENT in the reference; SURVEY.md §2.2)."""
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "all remaining devices"
+    data_parallel: int = -1
+    model_parallel: int = 1
+    # Shard conv feature maps spatially (H) across the model axis for large images —
+    # the vision analogue of sequence parallelism. Off by default (parity item: no).
+    spatial_sharding: bool = False
+
+
+@dataclass
+class EvalConfig:
+    calc_metrics: bool = False
+    specseg_weights: str = "specsegv3_chkpt.h5"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mode: str = "train"
+
+    @classmethod
+    def from_args(cls, argv: Optional[list] = None) -> "Config":
+        """Build a Config from a CLI surface mirroring the reference main.py:30-70."""
+        p = argparse.ArgumentParser(description="SHMGAN-TPU: specular highlight mitigation")
+        p.add_argument("--est_diffuse", type=_strtobool, default=True)
+        p.add_argument("--flip", type=_strtobool, default=True)
+        p.add_argument("--mode", type=str, default="train", choices=["train", "test", "bench"])
+        p.add_argument("--calc_metrics", type=_strtobool, default=False)
+        p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
+        p.add_argument("--image_size", type=int, default=128)
+        p.add_argument("--batch_size", type=int, default=1)
+        p.add_argument("--num_epochs", type=int, default=200)
+        p.add_argument("--n_critic", type=int, default=5)
+        p.add_argument("--log_step", type=int, default=1)
+        p.add_argument("--checkpoint_save_step", type=int, default=10)
+        p.add_argument("--filter_size", type=int, default=64)
+        p.add_argument("--c_dim", type=int, default=5)
+        p.add_argument("--g_lr", type=float, default=2e-5)
+        p.add_argument("--d_lr", type=float, default=2e-5)
+        p.add_argument("--beta1", type=float, default=0.5)
+        p.add_argument("--beta2", type=float, default=0.99)
+        p.add_argument("--num_iteration_decay", type=int, default=100000)
+        p.add_argument("--d_repeat_num", type=int, default=6)
+        p.add_argument("--data_dir", type=str, default="./data/PolarizedSource")
+        p.add_argument("--test_dir", type=str, default="./data/test")
+        p.add_argument("--diffuse_dir", type=str, default="./data/test_diffuse")
+        p.add_argument("--model_save_dir", type=str, default="./models")
+        p.add_argument("--checkpoint_save_dir", type=str, default="./checkpoints")
+        p.add_argument("--result_dir", type=str, default="./results")
+        p.add_argument("--log_dir", type=str, default="./logs/train")
+        p.add_argument("--num_iteration", type=int, default=20000)
+        p.add_argument("--specseg_weights", type=str, default="specsegv3_chkpt.h5")
+        p.add_argument("--compute_dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"])
+        p.add_argument("--seed", type=int, default=25)
+        p.add_argument("--data_parallel", type=int, default=-1)
+        p.add_argument("--model_parallel", type=int, default=1)
+        p.add_argument("--psd_naming", type=_strtobool, default=False)
+        a = p.parse_args(argv)
+
+        cfg = cls()
+        cfg.mode = a.mode
+        cfg.model = dataclasses.replace(
+            cfg.model, image_size=a.image_size, filter_size=a.filter_size,
+            c_dim=a.c_dim, d_repeat_num=a.d_repeat_num, compute_dtype=a.compute_dtype)
+        cfg.train = dataclasses.replace(
+            cfg.train, batch_size=a.batch_size, num_epochs=a.num_epochs,
+            n_critic=a.n_critic, log_step=a.log_step,
+            checkpoint_save_step=a.checkpoint_save_step, g_lr=a.g_lr, d_lr=a.d_lr,
+            beta1=a.beta1, beta2=a.beta2, num_iteration_decay=a.num_iteration_decay,
+            num_iteration=a.num_iteration, seed=a.seed,
+            delete_old_checkpoints=a.delete_old_checkpoints,
+            checkpoint_save_dir=a.checkpoint_save_dir, model_save_dir=a.model_save_dir,
+            result_dir=a.result_dir, log_dir=a.log_dir)
+        cfg.data = dataclasses.replace(
+            cfg.data, data_dir=a.data_dir, test_dir=a.test_dir,
+            diffuse_dir=a.diffuse_dir, est_diffuse=a.est_diffuse, flip=a.flip,
+            use_psd_naming=a.psd_naming)
+        cfg.mesh = dataclasses.replace(
+            cfg.mesh, data_parallel=a.data_parallel, model_parallel=a.model_parallel)
+        cfg.eval = dataclasses.replace(
+            cfg.eval, calc_metrics=a.calc_metrics, specseg_weights=a.specseg_weights)
+        return cfg
+
+    def describe(self) -> str:
+        """Option dump mirroring main.py:89-92."""
+        lines = ["------------ Options -------------"]
+        for section in ("model", "train", "data", "mesh", "eval"):
+            for f in dataclasses.fields(getattr(self, section)):
+                lines.append(f"{section}.{f.name}: {getattr(getattr(self, section), f.name)}")
+        lines.append(f"mode: {self.mode}")
+        lines.append("-------------- End ----------------")
+        return "\n".join(lines)
+
+
+def _strtobool(x) -> bool:
+    if isinstance(x, bool):
+        return x
+    return str(x).strip().lower() in ("1", "true", "yes", "y", "t")

@@ -1,0 +1,92 @@
+"""Color-space conversions (pure JAX, NHWC).
+
+Matches the reference's TF ops bit-for-bit in f32:
+  tf.image.rgb_to_yuv / tf.image.yuv_to_rgb  (ShmGANwithSSpecSeg.py:480-484, 550-553)
+  tfio rgb_to_lab for the deltaE metrics     (test.py:351-352)
+
+All functions take (..., 3) arrays; any leading batch/spatial dims are fine.  The
+conversions are 3x3 matmuls on the channel axis — XLA fuses these into neighbouring
+elementwise work, so there is no dedicated Pallas kernel for them; the fused
+preprocessing kernel in ops/pallas/preprocess.py folds rgb_to_yuv into the
+standardization pass instead.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# TF's RGB->YUV matrix (tensorflow/python/ops/image_ops_impl.py _rgb_to_yuv_kernel).
+_RGB_TO_YUV = jnp.array(
+    [[0.299, -0.14714119, 0.61497538],
+     [0.587, -0.28886916, -0.51496512],
+     [0.114, 0.43601035, -0.10001026]], dtype=jnp.float32)
+
+# TF's YUV->RGB matrix (_yuv_to_rgb_kernel).
+_YUV_TO_RGB = jnp.array(
+    [[1.0, 1.0, 1.0],
+     [0.0, -0.394642334, 2.03206185],
+     [1.13988303, -0.58062185, 0.0]], dtype=jnp.float32)
+
+
+def rgb_to_yuv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB (any range) -> YUV. Last axis must be 3."""
+    return jnp.matmul(rgb, _RGB_TO_YUV.astype(rgb.dtype))
+
+
+def yuv_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
+    """YUV -> RGB. Last axis must be 3."""
+    return jnp.matmul(yuv, _YUV_TO_RGB.astype(yuv.dtype))
+
+
+# ---------------------------------------------------------------------------
+# sRGB -> CIE Lab (D65), replicating skimage.color.rgb2lab / tfio rgb_to_lab
+# semantics used by the reference's deltaE metrics (test.py:351-354).
+# ---------------------------------------------------------------------------
+
+_XYZ_FROM_RGB = jnp.array(
+    [[0.412453, 0.212671, 0.019334],
+     [0.357580, 0.715160, 0.119193],
+     [0.180423, 0.072169, 0.950227]], dtype=jnp.float32)
+
+# D65 reference white
+_XYZ_REF_WHITE = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
+
+
+def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
+    """sRGB in [0,1] -> CIE Lab (L in [0,100])."""
+    rgb = rgb.astype(jnp.float32)
+    # inverse sRGB companding
+    linear = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    xyz = jnp.matmul(linear, _XYZ_FROM_RGB)
+    xyz = xyz / _XYZ_REF_WHITE
+    eps = 0.008856  # (6/29)^3
+    kappa = 7.787   # (1/3)*(29/6)^2 as used by skimage
+    f = jnp.where(xyz > eps, jnp.cbrt(xyz), kappa * xyz + 16.0 / 116.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([L, a, b], axis=-1)
+
+
+def delta_e_76(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
+    """CIE76 color difference per pixel (skimage.color.deltaE_cie76)."""
+    return jnp.sqrt(jnp.sum(jnp.square(lab1 - lab2), axis=-1))
+
+
+def delta_e_94(lab1: jnp.ndarray, lab2: jnp.ndarray,
+               kH: float = 1.0, kC: float = 1.0, kL: float = 1.0,
+               k1: float = 0.045, k2: float = 0.015) -> jnp.ndarray:
+    """CIE94 color difference per pixel (skimage.color.deltaE_ciede94 defaults)."""
+    L1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
+    L2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+    dL = L1 - L2
+    C1 = jnp.hypot(a1, b1)
+    C2 = jnp.hypot(a2, b2)
+    dC = C1 - C2
+    dE2 = jnp.sum(jnp.square(lab1 - lab2), axis=-1)
+    dH2 = jnp.maximum(dE2 - dL * dL - dC * dC, 0.0)
+    SL = 1.0
+    SC = 1.0 + k1 * C1
+    SH = 1.0 + k2 * C1
+    return jnp.sqrt((dL / (kL * SL)) ** 2 + (dC / (kC * SC)) ** 2 + dH2 / (kH * SH) ** 2)

@@ -1,0 +1,244 @@
+"""The fused SHMGAN train step — ONE compiled XLA computation per batch.
+
+This replaces the reference's eagerly-dispatched train_step
+(ShmGANwithSSpecSeg.py:466-875: 6 G forwards + 12 D forwards + 1 SpecSeg forward + a
+host round-trip for SpecSeg.predict + two tape backwards, all per-op Python dispatch)
+with a single jit-compiled step containing:
+
+  * fused preprocessing: RGB->YUV + per-image standardization over all 5 views at once
+  * SpecSeg mask inference INSIDE the graph (stop_gradient; reference :492 leaves the
+    tape and round-trips through keras .predict on the host)
+  * batched model invocations shaped for the MXU:
+      - G1 forward (stopped G params) on (B, H, W, 10)
+      - ONE live D forward on the stacked (2B) [generated, target] batch
+        (reference D1 + D2, :559-563)
+      - ONE live G forward on the stacked (5B) cyclic batch (reference's 5 separate
+        G calls, :603-607)
+      - ONE stopped-params D forward on the stacked (10B) [5 cyclic, 5 orig] batch
+        (reference D3 + D4, :627-642)
+  * the full loss zoo (train/losses.py)
+  * ONE backward producing both G and D gradients, then both Adam updates
+
+Gradient-gating semantics (faithful to the reference's effective behavior): the
+reference toggles keras `trainable` flags inside the tape, so D gets gradients only
+through the D1/D2 calls and G only through the 5 cyclic calls (SURVEY.md §3.2; the
+flags gate GradientTape variable watching). Here that is expressed functionally:
+stop_gradient on G params for the G1 pass, stop_gradient on D params for the D3/D4
+pass, and the combined scalar loss
+
+    L = L_D(live D1/D2; everything else stop_grad) + L_G(live cyclic G)
+
+whose single gradient yields exactly tape.gradient([total_D, total_C], D_vars) and
+tape.gradient(total_G, G_vars) — in one fused forward+backward instead of two.
+
+RNG semantics: per-step label smoothing U[0.8,1.2] (:986), 5 Bernoulli(randomness)
+input-channel drops (:509-521), paired random up/down flip of all views (intent of
+datasetLoader.py:61 — the reference's flip polarity/caching bug is documented in
+config.py), D GaussianNoise + dropout on the live (training=True) D pass only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
+from shmgan_tpu.ops.standardize import per_image_standardization
+from shmgan_tpu.train.losses import GanLossInputs, shmgan_losses
+from shmgan_tpu.train.state import TrainState, build_models
+
+
+def preprocess_views(views: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(V,B,H,W,3) raw RGB [0,1] -> (standardized YUV (V,B,H,W,3), Y (B,H,W,V),
+    average CbCr (B,H,W,2)).
+
+    One fused pass over all V views (reference does 5 sequential conversions,
+    :480-490). Standardization stats are per image per view.
+    """
+    v, b, h, w, _ = views.shape
+    yuv = rgb_to_yuv(views)
+    flat, _ = per_image_standardization(yuv.reshape(v * b, h, w, 3))
+    ds_yuv = flat.reshape(v, b, h, w, 3)
+    y_planes = jnp.moveaxis(ds_yuv[..., 0], 0, -1)          # (B,H,W,V)
+    avg_cbcr = jnp.mean(ds_yuv[..., 1:], axis=0)            # (B,H,W,2)
+    return ds_yuv, y_planes, avg_cbcr
+
+
+def _onehot_planes(b: int, h: int, w: int, c_dim: int, idx: int) -> jnp.ndarray:
+    """(B,H,W,c_dim) one-hot label planes: ones at channel idx, zeros elsewhere."""
+    planes = jnp.zeros((b, h, w, c_dim), jnp.float32)
+    return planes.at[..., idx].set(1.0)
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted train step closure for a given config."""
+    gen, disc, specseg = build_models(cfg)
+    c_dim = cfg.model.c_dim
+    image_size = cfg.model.image_size
+    randomness = cfg.train.randomness
+    scalar_drop = cfg.train.scalar_channel_dropout
+    do_flip = cfg.data.flip
+    train_g_after = cfg.train.train_G_after
+
+    def step_fn(state: TrainState, views: jnp.ndarray, rng: jax.Array,
+                epoch: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """views: (V, B, H, W, 3) raw RGB in [0,1], V == c_dim (I0,I45,I90,I135,ED)."""
+        v, b, h, w, _ = views.shape
+        k_flip, k_label, k_drop, k_noise, k_dropout = jax.random.split(rng, 5)
+
+        # ---- paired flip augmentation (applied identically to all views)
+        if do_flip:
+            flip = jax.random.uniform(k_flip, ()) >= 0.5
+            views = jnp.where(flip, views[:, :, ::-1, :, :], views)
+
+        # ---- per-step label smoothing t ~ U[0.8, 1.2] (train loop :986)
+        t = jax.random.uniform(k_label, (), minval=cfg.train.target_label_low,
+                               maxval=cfg.train.target_label_high)
+
+        # ---- fused preprocessing
+        ds_yuv, y_planes, avg_cbcr = preprocess_views(views)
+
+        # ---- SpecSeg mask from the standardized I90 Y channel (:492), frozen.
+        i90_y = y_planes[..., 2:3]
+        specseg_vars = jax.tree_util.tree_map(lax.stop_gradient, state.specseg_vars)
+        mask = specseg.apply(specseg_vars, i90_y, train=False)
+        mask = lax.stop_gradient(mask)
+
+        # ---- Bernoulli input-channel dropout (:509-521). drop[i]=1 -> channel i
+        # replaced by zeros in G1 input and by gen_Y in the cyclic inputs.
+        drop_shape = (1, v) if scalar_drop else (b, v)
+        drop = (jax.random.uniform(k_drop, drop_shape) < randomness).astype(jnp.float32)
+        drop_b = jnp.broadcast_to(drop[:, None, None, :], (b, h, w, v))
+
+        rand_y = jnp.where(drop_b > 0.5, 0.0, y_planes)                  # (B,H,W,V)
+        gen_input = jnp.concatenate(
+            [rand_y, _onehot_planes(b, h, w, c_dim, c_dim - 1)], axis=-1)
+
+        # ---- G1: always targets ED; stopped G params (no grad contribution, :538
+        # with G.trainable=False inside the tape)
+        g_params_stop = jax.tree_util.tree_map(lax.stop_gradient, state.g_params)
+
+        def forward_losses(params):
+            g_params, d_params = params["G"], params["D"]
+            d_params_stop = jax.tree_util.tree_map(lax.stop_gradient, d_params)
+
+            gen_y = gen.apply({"params": g_params_stop}, gen_input, mask)
+            gen_yuv = jnp.concatenate([gen_y, avg_cbcr], axis=-1)
+            gen_rgb = yuv_to_rgb(gen_yuv)
+
+            # ---- live D pass on [generated, target] (reference D1+D2, training=True
+            # -> GaussianNoise + Dropout active)
+            live_in = jnp.concatenate([gen_rgb, views[v - 1]], axis=0)     # (2B,...)
+            live_mask = jnp.concatenate([mask, mask], axis=0)
+            rf_live, lbl_live = disc.apply(
+                {"params": d_params}, live_in, live_mask, train=True,
+                rngs={"noise": k_noise, "dropout": k_dropout})
+            rf_gen, rf_target = rf_live[:b], rf_live[b:]
+            lbl_gen = lbl_live[:b]
+
+            # ---- cyclic inputs: dropped channels replaced by gen_Y (:576-594)
+            cyc_base = jnp.where(drop_b > 0.5, jnp.broadcast_to(gen_y, (b, h, w, v)),
+                                 y_planes)
+            cyc_inputs = []
+            for i in range(v):
+                ych = cyc_base.at[..., i].set(0.0)
+                cyc_inputs.append(jnp.concatenate(
+                    [ych, _onehot_planes(b, h, w, c_dim, i)], axis=-1))
+            cyc_stack = jnp.concatenate(cyc_inputs, axis=0)                # (VB,...)
+            mask_v = jnp.tile(mask, (v, 1, 1, 1))
+
+            # ---- ONE live G forward over all cyclic targets (:603-607)
+            cyc_y = gen.apply({"params": g_params}, cyc_stack, mask_v)     # (VB,H,W,1)
+            cyc_y = cyc_y.reshape(v, b, h, w, 1)
+            cyc_yuv = jnp.concatenate(
+                [cyc_y, jnp.broadcast_to(avg_cbcr, (v, b, h, w, 2))], axis=-1)
+            cyc_rgb = yuv_to_rgb(cyc_yuv)
+
+            # ---- ONE stopped-params D pass on [cyclics, originals] (D3+D4,
+            # training=False -> no noise/dropout, :627-642)
+            frozen_in = jnp.concatenate(
+                [cyc_rgb.reshape(v * b, h, w, 3), views.reshape(v * b, h, w, 3)], axis=0)
+            frozen_mask = jnp.tile(mask, (2 * v, 1, 1, 1))
+            rf_frozen, lbl_frozen = disc.apply(
+                {"params": d_params_stop}, frozen_in, frozen_mask, train=False)
+            rf_cyc = rf_frozen[: v * b].reshape(v, b, *rf_frozen.shape[1:])
+            rf_orig = rf_frozen[v * b:].reshape(v, b, *rf_frozen.shape[1:])
+            lbl_cyc = lbl_frozen[: v * b].reshape(v, b, c_dim)
+            lbl_orig = lbl_frozen[v * b:].reshape(v, b, c_dim)
+
+            losses = shmgan_losses(
+                GanLossInputs(
+                    rf_gen=rf_gen, lbl_gen=lbl_gen, rf_target=rf_target,
+                    rf_cyc=rf_cyc, lbl_cyc=lbl_cyc, rf_orig=rf_orig,
+                    lbl_orig=lbl_orig, gen_rgb=gen_rgb, cyc_rgb=cyc_rgb,
+                    cyc_yuv=cyc_yuv, orig_rgb=views, ds_yuv=ds_yuv, mask=mask,
+                    drop=drop, target_label=t),
+                image_size=image_size, style_weight=cfg.train.style_weight,
+                content_weight=cfg.train.content_weight)
+
+            # L_D: total_D + total_C with every non-live-D dependency stopped, so its
+            # gradient equals tape.gradient([total_D, total_C], D_vars).  Live terms:
+            # D1_cls and D2_rf_target (which appears twice in the total via the
+            # :728/:838 double count).
+            sg = lax.stop_gradient
+            loss_d = (losses["D1_cls"] + sg(losses["D3_cls"])) / 6.0 \
+                + (losses["D2_rf_target"]
+                   + (sg(losses["D4_rf_cyc"] - losses["D2_rf_target"])
+                      + losses["D2_rf_target"])) / 6.0 \
+                + 0.5 * sg(losses["D4_cls"]) + 10.0 * sg(losses["NST"]) \
+                + 10.0 * (sg(losses["D4_cls"]) + sg(losses["NST"]))
+
+            # L_G: total_G; its only live-G paths are the cyclic forwards (G1 used
+            # stopped params), matching tape.gradient(total_G, G_vars). The D1_rf
+            # term reads the LIVE D1 output, which would leak a spurious D gradient
+            # out of total_G — the reference never requests D grads from total_G, so
+            # swap it for its stopped value (same loss value, no D leak).
+            loss_g = losses["total_G"] + (sg(losses["D1_rf"]) - losses["D1_rf"]) / 6.0
+
+            return loss_d + loss_g, losses
+
+        grads, metrics = jax.grad(forward_losses, has_aux=True)(
+            {"G": state.g_params, "D": state.d_params})
+
+        # ---- D update always; G update gated by epoch >= train_G_after (:865)
+        d_updates, d_opt_state = state.d_tx.update(grads["D"], state.d_opt_state,
+                                                   state.d_params)
+        d_params = jax.tree_util.tree_map(lambda p, u: p + u, state.d_params, d_updates)
+
+        def g_update(_):
+            g_updates, g_opt_state = state.g_tx.update(grads["G"], state.g_opt_state,
+                                                       state.g_params)
+            g_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                              state.g_params, g_updates)
+            return g_params, g_opt_state
+
+        def g_skip(_):
+            return state.g_params, state.g_opt_state
+
+        g_params, g_opt_state = lax.cond(epoch >= train_g_after, g_update, g_skip, None)
+
+        new_state = state.replace(step=state.step + 1, g_params=g_params,
+                                  d_params=d_params, g_opt_state=g_opt_state,
+                                  d_opt_state=d_opt_state)
+        metrics = dict(metrics)
+        metrics["target_label"] = t
+        return new_state, metrics
+
+    return step_fn
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _jitted_step(step_fn, state, views, rng, epoch):
+    return step_fn(state, views, rng, epoch)
+
+
+def train_step(cfg: Config):
+    """Return a jitted (state, views, rng, epoch) -> (state, metrics) callable with
+    donated state (in-place HBM reuse of params/opt buffers)."""
+    fn = make_train_step(cfg)
+    return functools.partial(_jitted_step, fn)
