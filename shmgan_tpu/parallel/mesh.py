@@ -1,0 +1,124 @@
+"""Device mesh and sharding placement (SURVEY.md §2.2 — ABSENT in the reference,
+first-class here).
+
+Design: a 2-D logical mesh (data, model).
+
+  * data axis  — batch sharding (DP). The fused train step computes per-device
+    micro-batches; the XLA SPMD partitioner inserts the gradient all-reduces over ICI
+    automatically because parameters are replicated (or model-sharded) while the batch
+    is data-sharded. No hand-written collectives.
+  * model axis — optional tensor parallelism for the conv stacks: output-channel
+    sharding of the large conv kernels. Activations become channel-sharded after a
+    sharded conv; XLA inserts the all-gathers/reduce-scatters where the next layer
+    needs them. For the 18M/6M-param SHMGAN models DP is the workhorse
+    (BASELINE.json config 5); TP is exposed so model-parallel sharding is a config,
+    not a rewrite.
+
+Everything goes through NamedSharding so the same jitted step runs on 1 chip, a
+v5e-8 slice, or the 8-virtual-device CPU test backend unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shmgan_tpu.config import Config
+
+# Conv kernels with at least this many output channels get model-sharded (when the
+# model axis is >1). Smaller kernels replicate — the collective cost outweighs the
+# FLOP split below this width.
+_MIN_SHARDED_CHANNELS = 256
+
+
+def make_mesh(cfg: Config, devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.mesh.model_parallel)
+    dp = cfg.mesh.data_parallel
+    if dp == -1:
+        dp = n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (cfg.mesh.data_axis, cfg.mesh.model_axis))
+
+
+def batch_sharding(mesh: Mesh, batch_axis_index: int = 1, ndim: int = 5) -> NamedSharding:
+    """Sharding for a (V, B, H, W, 3) stacked-views batch: B over the data axis."""
+    spec = [None] * ndim
+    spec[batch_axis_index] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(views, mesh: Mesh):
+    return jax.device_put(views, batch_sharding(mesh, ndim=views.ndim))
+
+
+def _param_spec(path_keys: str, leaf, mesh: Mesh, model_parallel: bool) -> P:
+    if not model_parallel:
+        return P()
+    # Output-channel sharding for large conv kernels (HWIO -> shard O) and the class
+    # dense (shard the flattened-input dim, which is huge: 16384).
+    model_axis = mesh.axis_names[1]
+    msize = mesh.shape[model_axis]
+    if leaf.ndim == 4 and leaf.shape[-1] >= _MIN_SHARDED_CHANNELS \
+            and leaf.shape[-1] % msize == 0:
+        return P(None, None, None, model_axis)
+    if leaf.ndim == 2 and leaf.shape[0] % msize == 0 and leaf.shape[0] >= 1024:
+        return P(model_axis, None)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """A NamedSharding tree matching `params`."""
+    model_parallel = mesh.shape[mesh.axis_names[1]] > 1
+
+    def one(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        return NamedSharding(mesh, _param_spec(keys, leaf, mesh, model_parallel))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params per the TP rules (opt state mirrors its
+    params automatically via tree structure), everything else replicated."""
+    replicated = NamedSharding(mesh, P())
+
+    g_sh = param_shardings(state.g_params, mesh)
+    d_sh = param_shardings(state.d_params, mesh)
+
+    def put(tree, sh):
+        return jax.tree_util.tree_map(jax.device_put, tree, sh)
+
+    def put_opt(opt_state, params, params_sh):
+        # optax's ScaleByAdamState mu/nu subtrees mirror the param tree; shard each
+        # optimizer-state leaf like the param whose (shape, dtype) it matches, and
+        # replicate the rest (counts, scalars).
+        shape_to_sh = {}
+        for p, s in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_sh)):
+            shape_to_sh.setdefault((p.shape, p.dtype), s)
+
+        def place(leaf):
+            key = (getattr(leaf, "shape", None), getattr(leaf, "dtype", None))
+            return jax.device_put(leaf, shape_to_sh.get(key, replicated))
+
+        return jax.tree_util.tree_map(place, opt_state)
+
+    g_opt = put_opt(state.g_opt_state, state.g_params, g_sh)
+    d_opt = put_opt(state.d_opt_state, state.d_params, d_sh)
+
+    return state.replace(
+        step=jax.device_put(state.step, replicated),
+        g_params=put(state.g_params, g_sh),
+        d_params=put(state.d_params, d_sh),
+        specseg_vars=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated), state.specseg_vars),
+        g_opt_state=g_opt,
+        d_opt_state=d_opt,
+    )

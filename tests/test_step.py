@@ -1,0 +1,141 @@
+"""Tests for the fused train step (shmgan_tpu/train/step.py).
+
+Uses a small image size (32) and filter size (8) so the 8-virtual-CPU-device test
+backend compiles quickly; the step logic is size-agnostic.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.train.state import create_train_state, param_count
+from shmgan_tpu.train.step import make_train_step, preprocess_views
+
+
+def small_config(**train_overrides) -> Config:
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=32, filter_size=8,
+                                    specseg_base_filters=4)
+    train_overrides.setdefault("batch_size", 2)
+    cfg.train = dataclasses.replace(cfg.train, **train_overrides)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=())
+    views = jax.random.uniform(jax.random.PRNGKey(1), (5, 2, 32, 32, 3))
+    return cfg, state, step, views
+
+
+class TestPreprocess:
+    def test_shapes(self):
+        views = jax.random.uniform(jax.random.PRNGKey(0), (5, 2, 16, 16, 3))
+        ds_yuv, y, cbcr = preprocess_views(views)
+        assert ds_yuv.shape == (5, 2, 16, 16, 3)
+        assert y.shape == (2, 16, 16, 5)
+        assert cbcr.shape == (2, 16, 16, 2)
+
+    def test_matches_sequential(self):
+        from shmgan_tpu.ops.color import rgb_to_yuv
+        from shmgan_tpu.ops.standardize import per_image_standardization
+        views = jax.random.uniform(jax.random.PRNGKey(0), (5, 1, 16, 16, 3))
+        ds_yuv, y, cbcr = preprocess_views(views)
+        for i in range(5):
+            ref, _ = per_image_standardization(rgb_to_yuv(views[i]))
+            np.testing.assert_allclose(np.asarray(ds_yuv[i]), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+        ref_cbcr = np.mean([np.asarray(per_image_standardization(
+            rgb_to_yuv(views[i]))[0])[..., 1:] for i in range(5)], axis=0)
+        np.testing.assert_allclose(np.asarray(cbcr), ref_cbcr, rtol=1e-5, atol=1e-6)
+
+
+class TestTrainStep:
+    def test_smoke_and_finite(self, setup):
+        cfg, state, step, views = setup
+        new_state, metrics = step(state, views, jax.random.PRNGKey(2),
+                                  jnp.zeros((), jnp.int32))
+        for k, v in metrics.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"non-finite metric {k}"
+        assert int(new_state.step) == 1
+
+    def test_params_change(self, setup):
+        cfg, state, step, views = setup
+        new_state, _ = step(state, views, jax.random.PRNGKey(2),
+                            jnp.zeros((), jnp.int32))
+        g_delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params,
+            new_state.g_params)
+        d_delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.d_params,
+            new_state.d_params)
+        assert max(jax.tree_util.tree_leaves(g_delta)) > 0
+        assert max(jax.tree_util.tree_leaves(d_delta)) > 0
+        # SpecSeg stays frozen (reference: optimizer_SpecSeg never applied)
+        s_delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.specseg_vars,
+            new_state.specseg_vars)
+        assert max(jax.tree_util.tree_leaves(s_delta)) == 0
+
+    def test_generator_gating(self):
+        # train_G_after=5: at epoch 0 only D updates (reference :865-872)
+        cfg = small_config(train_G_after=5)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg), donate_argnums=())
+        views = jax.random.uniform(jax.random.PRNGKey(1), (5, 2, 32, 32, 3))
+        new_state, _ = step(state, views, jax.random.PRNGKey(2),
+                            jnp.zeros((), jnp.int32))
+        g_delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params,
+            new_state.g_params)
+        assert max(jax.tree_util.tree_leaves(g_delta)) == 0
+        # at epoch 5, G updates
+        new_state2, _ = step(state, views, jax.random.PRNGKey(2),
+                             jnp.full((), 5, jnp.int32))
+        g_delta2 = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params,
+            new_state2.g_params)
+        assert max(jax.tree_util.tree_leaves(g_delta2)) > 0
+
+    def test_deterministic_given_rng(self, setup):
+        cfg, state, step, views = setup
+        s1, m1 = step(state, views, jax.random.PRNGKey(7), jnp.zeros((), jnp.int32))
+        s2, m2 = step(state, views, jax.random.PRNGKey(7), jnp.zeros((), jnp.int32))
+        np.testing.assert_allclose(float(m1["total_G"]), float(m2["total_G"]))
+        np.testing.assert_allclose(float(m1["total_D"]), float(m2["total_D"]))
+
+    def test_rng_changes_draws(self, setup):
+        cfg, state, step, views = setup
+        _, m1 = step(state, views, jax.random.PRNGKey(7), jnp.zeros((), jnp.int32))
+        _, m2 = step(state, views, jax.random.PRNGKey(8), jnp.zeros((), jnp.int32))
+        assert float(m1["target_label"]) != float(m2["target_label"])
+
+    def test_loss_totals_consistent(self, setup):
+        # total_G = (D1_rf + D3_rf_cyc)/6 + 10*(L1 + SSIM + NST)  (:829-832)
+        cfg, state, step, views = setup
+        _, m = step(state, views, jax.random.PRNGKey(3), jnp.zeros((), jnp.int32))
+        expect_g = (float(m["D1_rf"]) + float(m["D3_rf_cyc"])) / 6.0 \
+            + 10.0 * float(m["L1"]) + 10.0 * float(m["SSIM_loss"]) \
+            + 10.0 * float(m["NST"])
+        np.testing.assert_allclose(float(m["total_G"]), expect_g, rtol=1e-5)
+        expect_d = (float(m["D1_cls"]) + float(m["D3_cls"])) / 6.0 \
+            + (float(m["D2_rf_target"]) + float(m["D4_rf_cyc"])) / 6.0 \
+            + 0.5 * float(m["D4_cls"]) + 10.0 * float(m["NST"])
+        np.testing.assert_allclose(float(m["total_D"]), expect_d, rtol=1e-5)
+        expect_c = 10.0 * (float(m["D4_cls"]) + float(m["NST"]))
+        np.testing.assert_allclose(float(m["total_C"]), expect_c, rtol=1e-5)
+
+    def test_batch_one_parity_shape(self):
+        # The reference's native regime: batch 1 (main.py:43)
+        cfg = small_config(batch_size=1)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg), donate_argnums=())
+        views = jax.random.uniform(jax.random.PRNGKey(1), (5, 1, 32, 32, 3))
+        _, m = step(state, views, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
+        assert np.isfinite(float(m["total_G"]))
