@@ -1,0 +1,200 @@
+"""Checkpointing: Orbax train-state persistence + SpecSeg keras-h5 converter.
+
+Reference behavior replicated (SURVEY.md §5 "Checkpoint / resume"):
+  tf.train.Checkpoint(generator, discriminator, optimizer_D, optimizer_G) with
+  CheckpointManager(max_to_keep=3) (ShmGANwithSSpecSeg.py:938-943), restore-on-start
+  (:949-951), periodic save every checkpoint_save_step epochs (:1125-1128) + final
+  (:1133), test-time restore (test.py:162-170). SpecSeg weights live in a separate
+  keras h5 (specsegv3_chkpt.h5, :930-931) — load_specseg_h5 converts that file into
+  the Flax SpecSeg variable tree.
+
+Here the WHOLE training state (G/D params, both Adam states, frozen SpecSeg vars,
+step) is one PyTree saved atomically by Orbax — crash-safe resume by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from shmgan_tpu.train.state import TrainState
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state checkpointing
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """max_to_keep Orbax manager over the full TrainState PyTree."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, state: TrainState, step: Optional[int] = None) -> int:
+        step = int(state.step) if step is None else int(step)
+        payload = {
+            "step": state.step,
+            "g_params": state.g_params,
+            "d_params": state.d_params,
+            "specseg_vars": state.specseg_vars,
+            "g_opt_state": state.g_opt_state,
+            "d_opt_state": state.d_opt_state,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        return step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> Optional[TrainState]:
+        """Restore into the structure of `template` (a freshly created state).
+        Returns None when no checkpoint exists (reference prints 'restored!!'
+        unconditionally even when nothing was restored — we are honest)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        template_payload = {
+            "step": template.step,
+            "g_params": template.g_params,
+            "d_params": template.d_params,
+            "specseg_vars": template.specseg_vars,
+            "g_opt_state": template.g_opt_state,
+            "d_opt_state": template.d_opt_state,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template_payload))
+        return template.replace(**restored)
+
+    def close(self):
+        self._mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# Keras-h5 -> Flax SpecSeg converter
+# ---------------------------------------------------------------------------
+
+# Keras layer-name order as produced by the reference SpecSeg builder
+# (SpecSeg.py:34-88): 10 contracting convs interleaved with 5 BN layers, then
+# 4 x (transpose + 2 convs), then the 1x1 head. Default keras names are
+# conv2d, conv2d_1, ... / batch_normalization, ... / conv2d_transpose, ...
+_FLAX_CONV_ORDER = [
+    "down0/conv0", "down0/conv1", "down1/conv0", "down1/conv1",
+    "down2/conv0", "down2/conv1", "down3/conv0", "down3/conv1",
+    "bottom/conv0", "bottom/conv1",
+    "up0/conv0", "up0/conv1", "up1/conv0", "up1/conv1",
+    "up2/conv0", "up2/conv1", "up3/conv0", "up3/conv1",
+    "head",
+]
+_FLAX_BN_ORDER = ["down0/bn", "down1/bn", "down2/bn", "down3/bn", "bottom/bn"]
+_FLAX_CONVT_ORDER = ["up0_t", "up1_t", "up2_t", "up3_t"]
+
+
+def _keras_name(base: str, idx: int) -> str:
+    return base if idx == 0 else f"{base}_{idx}"
+
+
+def _collect_h5_weights(h5file) -> dict:
+    """{layer_name: {weight_short_name: np.ndarray}} from a keras .h5 weight file.
+
+    Handles both `model_weights/<layer>/...` (full save) and `<layer>/...`
+    (save_weights) layouts, with arbitrary nesting below the layer group.
+    """
+    import h5py
+
+    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    out = {}
+
+    # keras-3 legacy-h5 stores positional names ("vars/0", "vars/1", ...); keras-2
+    # (the reference's TF 2.8 era, which produced specsegv3_chkpt.h5) stores
+    # "kernel:0"-style names. Normalize both to short semantic names.
+    _POSITIONAL = {
+        "conv": ["kernel", "bias"],
+        "bn": ["gamma", "beta", "moving_mean", "moving_variance"],
+    }
+
+    def visit(layer_name, group):
+        weights = {}
+
+        def leaf(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                short = name.split("/")[-1].split(":")[0]
+                weights[short] = np.asarray(obj)
+
+        group.visititems(leaf)
+        if weights and all(k.isdigit() for k in weights):
+            kind = "bn" if "batch_normalization" in layer_name else "conv"
+            names = _POSITIONAL[kind]
+            weights = {names[int(k)]: v for k, v in weights.items()}
+        if weights:
+            out[layer_name] = weights
+
+    for layer_name in root:
+        visit(layer_name, root[layer_name])
+    return out
+
+
+def convert_keras_convt_kernel(k_tf: np.ndarray) -> np.ndarray:
+    """Keras Conv2DTranspose kernel (kh, kw, out, in) -> flax ConvTranspose
+    (kh, kw, in, out) computing the identical function.
+
+    TF's conv2d_transpose is the gradient of a SAME convolution: correlation with
+    the spatially-flipped kernel. flax.nn.ConvTranspose (transpose_kernel=False)
+    correlates the dilated input with its kernel directly, so the keras kernel must
+    be spatially flipped and in/out-transposed. Verified against keras in
+    tests/test_tf_parity.py.
+    """
+    return np.ascontiguousarray(k_tf[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def load_specseg_h5(path: str) -> Any:
+    """Convert a reference-format SpecSeg keras h5 checkpoint (specsegv3_chkpt.h5,
+    ShmGANwithSSpecSeg.py:931) into the Flax SpecSeg variable tree
+    {'params': ..., 'batch_stats': ...}."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        layers = _collect_h5_weights(f)
+
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def set_path(tree, path, leaf):
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    for i, flax_path in enumerate(_FLAX_CONV_ORDER):
+        w = layers[_keras_name("conv2d", i)]
+        set_path(params, flax_path + "/kernel", w["kernel"].astype(np.float32))
+        set_path(params, flax_path + "/bias", w["bias"].astype(np.float32))
+
+    for i, flax_path in enumerate(_FLAX_BN_ORDER):
+        w = layers[_keras_name("batch_normalization", i)]
+        set_path(params, flax_path + "/scale", w["gamma"].astype(np.float32))
+        set_path(params, flax_path + "/bias", w["beta"].astype(np.float32))
+        set_path(batch_stats, flax_path + "/mean", w["moving_mean"].astype(np.float32))
+        set_path(batch_stats, flax_path + "/var",
+                 w["moving_variance"].astype(np.float32))
+
+    for i, flax_path in enumerate(_FLAX_CONVT_ORDER):
+        w = layers[_keras_name("conv2d_transpose", i)]
+        set_path(params, flax_path + "/kernel",
+                 convert_keras_convt_kernel(w["kernel"]))
+        set_path(params, flax_path + "/bias", w["bias"].astype(np.float32))
+
+    return {"params": params, "batch_stats": batch_stats}

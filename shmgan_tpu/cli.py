@@ -1,0 +1,107 @@
+"""CLI entry point mirroring the reference's main.py (train/test dispatch).
+
+    python -m shmgan_tpu.cli --mode train --data_dir <polar-root> ...
+    python -m shmgan_tpu.cli --mode test --test_dir <imgs> [--calc_metrics true
+        --diffuse_dir <gt>] ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_h5
+from shmgan_tpu.config import Config
+
+
+def run_train(cfg: Config):
+    from shmgan_tpu.train.loop import train
+    print(cfg.describe())
+    train(cfg)
+    print(" [*] Training finished!")
+
+
+def run_test(cfg: Config):
+    """Single-RGB inference over a test folder, optional metric report
+    (reference test.py:40-406)."""
+    from shmgan_tpu.data.loader import SingleFolderDataset
+    from shmgan_tpu.eval.metrics import MetricAccumulator, evaluate_pair
+    from shmgan_tpu.infer import make_infer_fn
+    from shmgan_tpu.train.state import create_train_state
+
+    print(cfg.describe())
+
+    specseg_vars = None
+    if os.path.exists(cfg.eval.specseg_weights):
+        specseg_vars = load_specseg_h5(cfg.eval.specseg_weights)
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                               specseg_vars=specseg_vars)
+    ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
+                             max_to_keep=cfg.train.checkpoint_max_to_keep)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"[ckpt] restored step {int(state.step)}")
+    else:
+        print("[ckpt] WARNING: no checkpoint found — using random weights")
+
+    infer = make_infer_fn(cfg, with_cyclic=True)
+
+    test_ds = SingleFolderDataset(cfg.data.test_dir, cfg.model.image_size,
+                                  batch_size=cfg.train.batch_size)
+    diffuse_ds = None
+    if cfg.eval.calc_metrics:
+        diffuse_ds = SingleFolderDataset(cfg.data.diffuse_dir, cfg.model.image_size,
+                                         batch_size=cfg.train.batch_size)
+
+    os.makedirs(cfg.train.result_dir, exist_ok=True)
+    acc = MetricAccumulator()
+    diffuse_iter = iter(diffuse_ds) if diffuse_ds is not None else None
+
+    from PIL import Image
+    for i, rgb in enumerate(test_ds):
+        t0 = time.perf_counter()
+        out = infer(state.g_params, state.specseg_vars, rgb)
+        gen_rgb = np.asarray(out["gen_rgb"])
+        wall = time.perf_counter() - t0
+
+        # save result images (min-max rescaled to displayable range like the
+        # reference's rescale_01 plotting, test.py:413-415)
+        for j in range(gen_rgb.shape[0]):
+            img = gen_rgb[j]
+            lo, hi = img.min(), img.max()
+            vis = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+            Image.fromarray((vis * 255).astype(np.uint8)).save(
+                os.path.join(cfg.train.result_dir,
+                             f"result_{i * cfg.train.batch_size + j:05d}.png"))
+
+        if diffuse_iter is not None:
+            target = next(diffuse_iter)
+            acc.add(evaluate_pair(out["gen_rgb"], target), wall_time=wall)
+
+    if cfg.eval.calc_metrics and acc.rows:
+        print("\n --- CALCULATED METRICS --- ")
+        print(acc.report())
+        acc.dump_jsonl(os.path.join(cfg.train.result_dir, "metrics.jsonl"))
+
+
+def main(argv: Optional[list] = None):
+    cfg = Config.from_args(argv)
+    if cfg.mode == "train":
+        run_train(cfg)
+    elif cfg.mode == "test":
+        run_test(cfg)
+    elif cfg.mode == "bench":
+        import runpy
+        sys.argv = [sys.argv[0]]
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                       run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Tests for Orbax train-state checkpointing and the SpecSeg h5 converter."""
+
+import dataclasses
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shmgan_tpu.checkpoint import (
+    CheckpointManager, convert_keras_convt_kernel, load_specseg_h5,
+)
+from shmgan_tpu.config import Config
+from shmgan_tpu.models import SpecSeg
+from shmgan_tpu.train.state import create_train_state
+
+
+def small_config() -> Config:
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=16, filter_size=8,
+                                    specseg_base_filters=4)
+    cfg.train = dataclasses.replace(cfg.train, batch_size=1)
+    return cfg
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        state = state.replace(step=jnp.asarray(42, jnp.int32))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+        mgr.save(state)
+
+        fresh = create_train_state(cfg, jax.random.PRNGKey(99))
+        restored = mgr.restore(fresh)
+        assert restored is not None
+        assert int(restored.step) == 42
+        for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                        jax.tree_util.tree_leaves(restored.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+    def test_restore_empty_returns_none(self, tmp_path):
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "empty"), max_to_keep=3)
+        assert mgr.restore(state) is None
+        mgr.close()
+
+    def test_max_to_keep(self, tmp_path):
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "keep"), max_to_keep=2)
+        for s in (1, 2, 3, 4):
+            mgr.save(state.replace(step=jnp.asarray(s, jnp.int32)))
+        assert mgr.latest_step() == 4
+        steps = sorted(int(d) for d in os.listdir(str(tmp_path / "keep"))
+                       if d.isdigit())
+        assert len(steps) <= 2
+        mgr.close()
+
+
+def _write_fake_keras2_h5(path: str, flax_vars, base: int):
+    """Write an h5 file in the keras-2 layout (model_weights/<layer>/<layer>/
+    kernel:0) carrying our flax SpecSeg weights, inverting the converter mapping —
+    validates the name/order/transform contract bidirectionally."""
+    from shmgan_tpu.checkpoint import (
+        _FLAX_BN_ORDER, _FLAX_CONVT_ORDER, _FLAX_CONV_ORDER, _keras_name,
+    )
+
+    def get(tree, path):
+        node = tree
+        for p in path.split("/"):
+            node = node[p]
+        return np.asarray(node)
+
+    p = flax_vars["params"]
+    bs = flax_vars["batch_stats"]
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+
+        def put(layer, name, arr):
+            g = mw.require_group(layer).require_group(layer)
+            g.create_dataset(name, data=arr)
+
+        for i, fp in enumerate(_FLAX_CONV_ORDER):
+            layer = _keras_name("conv2d", i)
+            put(layer, "kernel:0", get(p, fp + "/kernel"))
+            put(layer, "bias:0", get(p, fp + "/bias"))
+        for i, fp in enumerate(_FLAX_BN_ORDER):
+            layer = _keras_name("batch_normalization", i)
+            put(layer, "gamma:0", get(p, fp + "/scale"))
+            put(layer, "beta:0", get(p, fp + "/bias"))
+            put(layer, "moving_mean:0", get(bs, fp + "/mean"))
+            put(layer, "moving_variance:0", get(bs, fp + "/var"))
+        for i, fp in enumerate(_FLAX_CONVT_ORDER):
+            layer = _keras_name("conv2d_transpose", i)
+            # invert the converter transform: flax (kh,kw,in,out) -> keras (kh,kw,out,in)
+            k = get(p, fp + "/kernel")
+            put(layer, "kernel:0", np.ascontiguousarray(
+                k[::-1, ::-1].transpose(0, 1, 3, 2)))
+            put(layer, "bias:0", get(p, fp + "/bias"))
+
+
+class TestSpecSegConverter:
+    def test_convt_transform_involution(self):
+        k = np.random.default_rng(0).normal(size=(2, 2, 8, 4)).astype(np.float32)
+        twice = convert_keras_convt_kernel(convert_keras_convt_kernel(k))
+        np.testing.assert_array_equal(twice, k)
+
+    def test_h5_roundtrip_preserves_function(self, tmp_path):
+        net = SpecSeg(base_filters=16)
+        x = jnp.linspace(0, 1, 1 * 32 * 32 * 1).reshape(1, 32, 32, 1)
+        variables = net.init(jax.random.PRNGKey(0), x, train=False)
+        ref_out = net.apply(variables, x, train=False)
+
+        path = str(tmp_path / "specseg_fake.h5")
+        _write_fake_keras2_h5(path, jax.device_get(variables), base=16)
+        loaded = load_specseg_h5(path)
+
+        out = net.apply(loaded, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_full_pipeline_uses_converted_weights(self, tmp_path):
+        cfg = small_config()
+        net = SpecSeg(base_filters=cfg.model.specseg_base_filters)
+        x = jnp.zeros((1, 16, 16, 1))
+        variables = net.init(jax.random.PRNGKey(1), x, train=False)
+        path = str(tmp_path / "ss.h5")
+        _write_fake_keras2_h5(path, jax.device_get(variables), base=4)
+        loaded = load_specseg_h5(path)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), specseg_vars=loaded)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(state.specseg_vars)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

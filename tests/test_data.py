@@ -1,0 +1,135 @@
+"""Tests for the data layer: synthetic fixtures, folder loader, device prefetcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shmgan_tpu.config import DataConfig
+from shmgan_tpu.data.loader import PolarimetricDataset, SingleFolderDataset
+from shmgan_tpu.data.pipeline import DevicePrefetcher
+from shmgan_tpu.data.synthetic import synth_polar_batch, write_fixture_tree
+
+
+class TestSynthetic:
+    def test_batch_shape_and_range(self):
+        v = synth_polar_batch(batch=2, image_size=32, seed=3)
+        assert v.shape == (5, 2, 32, 32, 3)
+        assert v.dtype == np.float32
+        assert v.min() >= 0.0 and v.max() <= 1.0
+
+    def test_ed_is_min_of_views(self):
+        v = synth_polar_batch(batch=1, image_size=16, seed=1)
+        np.testing.assert_allclose(v[4], v[:4].min(axis=0), atol=1e-7)
+
+    def test_views_differ(self):
+        v = synth_polar_batch(batch=1, image_size=32, seed=2)
+        assert float(np.abs(v[0] - v[2]).max()) > 1e-3
+
+
+class TestPolarimetricDataset:
+    @pytest.fixture(scope="class")
+    def tree(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("polar"))
+        write_fixture_tree(root, n_images=6, image_size=24, seed=0)
+        return root
+
+    def test_load_and_iterate(self, tree):
+        cfg = DataConfig(data_dir=tree)
+        ds = PolarimetricDataset(cfg, image_size=24, batch_size=2)
+        assert len(ds) == 6
+        assert ds.batches_per_epoch == 3
+        batches = list(ds.iter_epoch())
+        assert len(batches) == 3
+        for b in batches:
+            assert b.shape == (5, 2, 24, 24, 3)
+            assert b.dtype == np.float32
+            assert 0.0 <= b.min() and b.max() <= 1.0
+
+    def test_alignment_by_sorted_name(self, tree):
+        # All five views of a scene share the same filename; the loader must keep
+        # them aligned (the reference aligns streams by file order,
+        # datasetLoader.py:151)
+        cfg = DataConfig(data_dir=tree)
+        ds = PolarimetricDataset(cfg, image_size=24, batch_size=1)
+        names = [[os.path.basename(p) for p in fs] for fs in ds.files]
+        for view_names in names[1:]:
+            assert view_names == names[0]
+
+    def test_ed_synthesis_when_folder_missing(self, tmp_path):
+        root = str(tmp_path / "noed")
+        write_fixture_tree(root, n_images=3, image_size=16, seed=1, write_ed=False)
+        cfg = DataConfig(data_dir=root, est_diffuse=True)
+        ds = PolarimetricDataset(cfg, image_size=16, batch_size=1)
+        batch = next(ds.iter_epoch())
+        # ED = channel-wise min of the 4 decoded views (utils.py:68-123 semantics)
+        np.testing.assert_allclose(batch[4], batch[:4].min(axis=0), atol=1e-6)
+
+    def test_missing_ed_and_no_est_raises(self, tmp_path):
+        root = str(tmp_path / "noed2")
+        write_fixture_tree(root, n_images=2, image_size=16, seed=1, write_ed=False)
+        cfg = DataConfig(data_dir=root, est_diffuse=False)
+        with pytest.raises(FileNotFoundError):
+            PolarimetricDataset(cfg, image_size=16, batch_size=1)
+
+    def test_resize_path(self, tree):
+        # fixture images are 24px; ask for 16 -> resized
+        cfg = DataConfig(data_dir=tree)
+        ds = PolarimetricDataset(cfg, image_size=16, batch_size=1)
+        batch = next(ds.iter_epoch())
+        assert batch.shape == (5, 1, 16, 16, 3)
+
+    def test_shuffle_changes_order(self, tree):
+        cfg = DataConfig(data_dir=tree)
+        ds = PolarimetricDataset(cfg, image_size=24, batch_size=6)
+        plain = next(ds.iter_epoch())
+        shuffled = next(ds.iter_epoch(shuffle_seed=7))
+        assert not np.allclose(plain, shuffled)
+        # same content as a set: per-image sums match after sorting
+        s1 = np.sort(plain.sum(axis=(0, 2, 3, 4)))
+        s2 = np.sort(shuffled.sum(axis=(0, 2, 3, 4)))
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+class TestSingleFolder:
+    def test_iterate(self, tmp_path):
+        root = str(tmp_path / "flat")
+        write_fixture_tree(root, n_images=4, image_size=20, seed=2)
+        ds = SingleFolderDataset(os.path.join(root, "I0"), image_size=20,
+                                 batch_size=3)
+        batches = list(ds)
+        assert len(batches) == 2  # 3 + 1 (keeps the remainder)
+        assert batches[0].shape == (3, 20, 20, 3)
+        assert batches[1].shape == (1, 20, 20, 3)
+
+
+class TestDevicePrefetcher:
+    def test_yields_all_batches(self):
+        data = [np.full((5, 2, 8, 8, 3), i, np.float32) for i in range(5)]
+        out = list(DevicePrefetcher(iter(data), mesh=None, depth=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            np.testing.assert_allclose(np.asarray(b), i)
+
+    def test_propagates_errors(self):
+        def gen():
+            yield np.zeros((2, 2), np.float32)
+            raise ValueError("boom")
+
+        it = DevicePrefetcher(gen(), mesh=None)
+        next(it)
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
+            next(it)
+
+    def test_sharded_put(self):
+        import jax
+        from shmgan_tpu.config import Config
+        from shmgan_tpu.parallel.mesh import make_mesh
+        import dataclasses
+        cfg = Config()
+        cfg.mesh = dataclasses.replace(cfg.mesh, data_parallel=8, model_parallel=1)
+        mesh = make_mesh(cfg)
+        data = [np.zeros((5, 8, 8, 8, 3), np.float32)]
+        out = list(DevicePrefetcher(iter(data), mesh=mesh))
+        assert len(out[0].sharding.device_set) == 8

@@ -1,0 +1,100 @@
+"""Tests for the fused single-RGB inference graph and the eval harness."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.eval.metrics import MetricAccumulator, evaluate_pair
+from shmgan_tpu.infer import make_infer_fn, make_mask_fn
+from shmgan_tpu.train.state import create_train_state
+
+
+def small_config() -> Config:
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=32, filter_size=8,
+                                    specseg_base_filters=4)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    return cfg, state, rgb
+
+
+class TestInfer:
+    def test_output_shapes(self, setup):
+        cfg, state, rgb = setup
+        infer = make_infer_fn(cfg)
+        out = infer(state.g_params, state.specseg_vars, rgb)
+        assert out["gen_rgb"].shape == (2, 32, 32, 3)
+        assert out["gen_rgb_denorm"].shape == (2, 32, 32, 3)
+        assert out["mask"].shape == (2, 32, 32, 1)
+        assert out["gen_y"].shape == (2, 32, 32, 1)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_mask_is_probability(self, setup):
+        cfg, state, rgb = setup
+        out = make_infer_fn(cfg)(state.g_params, state.specseg_vars, rgb)
+        m = np.asarray(out["mask"])
+        assert m.min() >= 0.0 and m.max() <= 1.0
+
+    def test_cyclic_outputs(self, setup):
+        cfg, state, rgb = setup
+        infer = make_infer_fn(cfg, with_cyclic=True)
+        out = infer(state.g_params, state.specseg_vars, rgb)
+        assert out["cyc_rgb"].shape == (5, 2, 32, 32, 3)
+
+    def test_mask_fn(self, setup):
+        cfg, state, rgb = setup
+        mask = make_mask_fn(cfg)(state.specseg_vars, rgb)
+        assert mask.shape == (2, 32, 32, 1)
+
+    def test_cbcr_preserved(self, setup):
+        # The output YUV reuses the input's own CbCr (test.py:224): verify the
+        # chroma of gen_rgb equals the standardized input chroma.
+        from shmgan_tpu.ops.color import rgb_to_yuv
+        from shmgan_tpu.ops.standardize import per_image_standardization
+        cfg, state, rgb = setup
+        out = make_infer_fn(cfg)(state.g_params, state.specseg_vars, rgb)
+        yuv_in, _ = per_image_standardization(rgb_to_yuv(rgb))
+        yuv_out = rgb_to_yuv(out["gen_rgb"])
+        np.testing.assert_allclose(np.asarray(yuv_out[..., 1:]),
+                                   np.asarray(yuv_in[..., 1:]), atol=2e-5)
+
+
+class TestEvalHarness:
+    def test_identical_pair(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        m = evaluate_pair(x, x)
+        np.testing.assert_allclose(np.asarray(m["ssim"]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m["mse"]), 0.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(m["deltaE76"]), 0.0, atol=1e-3)
+        assert np.all(np.asarray(m["psnr"]) > 60)
+
+    def test_accumulator_report(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        y = jnp.clip(x + 0.05, 0, 1)
+        acc = MetricAccumulator()
+        acc.add(evaluate_pair(x, y), wall_time=0.01)
+        means = acc.means()
+        assert set(means) == set(MetricAccumulator.COLUMNS)
+        rep = acc.report()
+        assert "MEAN" in rep
+
+    def test_jsonl_dump(self, tmp_path):
+        import json
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+        acc = MetricAccumulator()
+        acc.add(evaluate_pair(x, x), wall_time=0.0)
+        p = str(tmp_path / "m.jsonl")
+        acc.dump_jsonl(p)
+        lines = [json.loads(l) for l in open(p)]
+        assert len(lines) == 2 and "mean" in lines[-1]
