@@ -114,7 +114,12 @@ def _collect_h5_weights(h5file) -> dict:
     """
     import h5py
 
-    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    if "model_weights" in h5file:        # keras-2 full-model save (the reference's)
+        root = h5file["model_weights"]
+    elif "layers" in h5file:             # keras-3 save_weights layout
+        root = h5file["layers"]
+    else:                                # keras-2 save_weights layout
+        root = h5file
     out = {}
 
     # keras-3 legacy-h5 stores positional names ("vars/0", "vars/1", ...); keras-2
