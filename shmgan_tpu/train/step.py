@@ -75,8 +75,11 @@ def _onehot_planes(b: int, h: int, w: int, c_dim: int, idx: int) -> jnp.ndarray:
     return planes.at[..., idx].set(1.0)
 
 
-def make_train_step(cfg: Config):
-    """Build the jitted train step closure for a given config."""
+def make_train_step(cfg: Config, debug_grads: bool = False):
+    """Build the jitted train step closure for a given config.
+
+    debug_grads: include the raw G/D gradient trees in the metrics dict (testing
+    only — used by the gradient-gating equivalence test)."""
     gen, disc, specseg = build_models(cfg)
     c_dim = cfg.model.c_dim
     image_size = cfg.model.image_size
@@ -227,6 +230,8 @@ def make_train_step(cfg: Config):
                                   d_opt_state=d_opt_state)
         metrics = dict(metrics)
         metrics["target_label"] = t
+        if debug_grads:
+            metrics["_grads"] = grads
         return new_state, metrics
 
     return step_fn
