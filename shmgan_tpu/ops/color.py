@@ -15,38 +15,34 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# TF's RGB->YUV matrix (tensorflow/python/ops/image_ops_impl.py _rgb_to_yuv_kernel).
-_RGB_TO_YUV = jnp.array(
-    [[0.299, -0.14714119, 0.61497538],
-     [0.587, -0.28886916, -0.51496512],
-     [0.114, 0.43601035, -0.10001026]], dtype=jnp.float32)
-
-# TF's YUV->RGB matrix (_yuv_to_rgb_kernel).
-_YUV_TO_RGB = jnp.array(
-    [[1.0, 1.0, 1.0],
-     [0.0, -0.394642334, 2.03206185],
-     [1.13988303, -0.58062185, 0.0]], dtype=jnp.float32)
-
+# TF's RGB<->YUV matrix constants (tensorflow/python/ops/image_ops_impl.py
+# _rgb_to_yuv_kernel / _yuv_to_rgb_kernel). Implemented as explicit FMA rather than
+# a (...,3)x(3,3) matmul: a 3-wide contraction can't tile the 128x128 MXU, and on
+# TPU jnp.matmul's default precision would run it through bf16 passes (measured
+# ~1e-3 error); the FMA form is exact f32 on the VPU and fuses into neighbours.
 
 def rgb_to_yuv(rgb: jnp.ndarray) -> jnp.ndarray:
     """RGB (any range) -> YUV. Last axis must be 3."""
-    return jnp.matmul(rgb, _RGB_TO_YUV.astype(rgb.dtype))
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.14714119 * r + -0.28886916 * g + 0.43601035 * b
+    v = 0.61497538 * r + -0.51496512 * g + -0.10001026 * b
+    return jnp.stack([y, u, v], axis=-1)
 
 
 def yuv_to_rgb(yuv: jnp.ndarray) -> jnp.ndarray:
     """YUV -> RGB. Last axis must be 3."""
-    return jnp.matmul(yuv, _YUV_TO_RGB.astype(yuv.dtype))
+    y, u, v = yuv[..., 0], yuv[..., 1], yuv[..., 2]
+    r = y + 1.13988303 * v
+    g = y + -0.394642334 * u + -0.58062185 * v
+    b = y + 2.03206185 * u
+    return jnp.stack([r, g, b], axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # sRGB -> CIE Lab (D65), replicating skimage.color.rgb2lab / tfio rgb_to_lab
 # semantics used by the reference's deltaE metrics (test.py:351-354).
 # ---------------------------------------------------------------------------
-
-_XYZ_FROM_RGB = jnp.array(
-    [[0.412453, 0.212671, 0.019334],
-     [0.357580, 0.715160, 0.119193],
-     [0.180423, 0.072169, 0.950227]], dtype=jnp.float32)
 
 # D65 reference white
 _XYZ_REF_WHITE = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
@@ -57,7 +53,12 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     rgb = rgb.astype(jnp.float32)
     # inverse sRGB companding
     linear = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
-    xyz = jnp.matmul(linear, _XYZ_FROM_RGB)
+    lr, lg, lb = linear[..., 0], linear[..., 1], linear[..., 2]
+    # sRGB -> XYZ (same FMA-instead-of-matmul rationale as rgb_to_yuv above)
+    x = 0.412453 * lr + 0.357580 * lg + 0.180423 * lb
+    y = 0.212671 * lr + 0.715160 * lg + 0.072169 * lb
+    z = 0.019334 * lr + 0.119193 * lg + 0.950227 * lb
+    xyz = jnp.stack([x, y, z], axis=-1)
     xyz = xyz / _XYZ_REF_WHITE
     eps = 0.008856  # (6/29)^3
     kappa = 7.787   # (1/3)*(29/6)^2 as used by skimage

@@ -1,0 +1,123 @@
+"""Tests for the native C++ host runtime (decode/resize/normalize workers)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shmgan_tpu.runtime import native_loader as nl
+
+pytestmark = pytest.mark.skipif(not nl.build_native(),
+                                reason="no C++ toolchain available")
+
+
+def _write_ppm(path, arr_u8):
+    h, w, _ = arr_u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(arr_u8.tobytes())
+
+
+def _write_raw(path, arr_u8):
+    import struct
+    h, w, _ = arr_u8.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", h, w))
+        f.write(arr_u8.tobytes())
+
+
+class TestNativeDecode:
+    def test_ppm_roundtrip_no_resize(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        p = str(tmp_path / "a.ppm")
+        _write_ppm(p, img)
+        batch, ok = nl.decode_batch([p], image_size=16)
+        assert ok[0] == 1
+        np.testing.assert_allclose(batch[0], img.astype(np.float32) / 255.0,
+                                   atol=1e-6)
+
+    def test_raw_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (8, 12, 3), np.uint8)
+        p = str(tmp_path / "b.raw")
+        _write_raw(p, img)
+        batch, ok = nl.decode_batch([p], image_size=8)
+        assert ok[0] == 1
+        assert batch.shape == (1, 8, 8, 3)
+
+    def test_resize_matches_tf_bilinear(self):
+        # The REFERENCE resizes with keras image_dataset_from_directory ==
+        # tf.image.resize bilinear, antialias=False (half-pixel 4-tap) — exactly
+        # the native implementation. (PIL's BILINEAR area-averages on downsample
+        # and intentionally differs.)
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        ours = nl.resize_normalize(img, 16)
+        ref = tf.image.resize(img.astype(np.float32), (16, 16),
+                              method="bilinear").numpy() / 255.0
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_upsample_matches_tf_bilinear(self):
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (10, 14, 3), np.uint8)
+        ours = nl.resize_normalize(img, 24)
+        ref = tf.image.resize(img.astype(np.float32), (24, 24),
+                              method="bilinear").numpy() / 255.0
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_failed_decode_flagged(self, tmp_path):
+        p = str(tmp_path / "junk.ppm")
+        with open(p, "wb") as f:
+            f.write(b"not an image")
+        batch, ok = nl.decode_batch([p], image_size=8)
+        assert ok[0] == 0
+        np.testing.assert_allclose(batch[0], 0.0)
+
+    def test_multithreaded_batch(self, tmp_path):
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(12):
+            img = rng.integers(0, 256, (10, 10, 3), np.uint8)
+            p = str(tmp_path / f"i{i}.ppm")
+            _write_ppm(p, img)
+            paths.append(p)
+        batch, ok = nl.decode_batch(paths, image_size=10, num_threads=4)
+        assert int(ok.sum()) == 12
+        assert batch.shape == (12, 10, 10, 3)
+
+    def test_estimate_diffuse_native(self):
+        rng = np.random.default_rng(4)
+        views = rng.uniform(0, 1, (4, 6, 6, 3)).astype(np.float32)
+        out = nl.estimate_diffuse_native(views)
+        np.testing.assert_allclose(out, views.min(axis=0), atol=1e-7)
+
+    def test_bmp_decode(self, tmp_path):
+        # write a tiny bottom-up 24-bit BMP by hand
+        import struct
+        h, w = 2, 2
+        pix = np.array([[[255, 0, 0], [0, 255, 0]],
+                        [[0, 0, 255], [255, 255, 255]]], np.uint8)  # RGB rows
+        row_stride = (w * 3 + 3) // 4 * 4
+        data_off = 54
+        size = data_off + row_stride * h
+        hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_stride * h,
+                           2835, 2835, 0, 0)
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = b""
+            for x in range(w):
+                r, g, b_ = pix[y, x]
+                row += bytes([b_, g, r])
+            row += b"\x00" * (row_stride - len(row))
+            rows += row
+        p = str(tmp_path / "t.bmp")
+        with open(p, "wb") as f:
+            f.write(hdr + info + rows)
+        batch, ok = nl.decode_batch([p], image_size=2)
+        assert ok[0] == 1
+        np.testing.assert_allclose(batch[0], pix.astype(np.float32) / 255.0,
+                                   atol=1e-6)
