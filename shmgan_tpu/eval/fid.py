@@ -1,0 +1,62 @@
+"""Frechet distance + inception-score utilities.
+
+The reference carries FID code that would crash if called (TF1 APIs tf.svd/tf.diag/
+tf.trace, ShmGANwithSSpecSeg.py:1203-1233; only call site commented out) and a fully
+commented-out inception score (:1240-1267). This module provides WORKING, jittable
+equivalents:
+
+  frechet_distance(feat_a, feat_b)  — classic FID over arbitrary feature sets
+                                      (use any embedding network's pooled features;
+                                      for image-space diagnostics, raw pixels can be
+                                      passed like the reference intended)
+  inception_score(probs)            — IS from class-probability rows
+
+The matrix square root uses a symmetric eigendecomposition (the product
+sqrt(Sa) Sb sqrt(Sa) is symmetric PSD), which is exact and differentiable, instead
+of the reference's broken SVD path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sym_sqrtm(mat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Matrix square root of a symmetric PSD matrix via eigendecomposition."""
+    w, v = jnp.linalg.eigh(mat)
+    w = jnp.maximum(w, 0.0)
+    return (v * jnp.sqrt(w + eps)) @ v.T
+
+
+def _cov(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, D) -> (D, D) covariance (rows are samples)."""
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    xc = x - mu
+    return (xc.T @ xc) / jnp.maximum(x.shape[0] - 1, 1)
+
+
+@jax.jit
+def frechet_distance(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
+    """FID between two (N, D) feature sets:
+    |mu_a - mu_b|^2 + tr(Sa + Sb - 2 sqrt(sqrt(Sa) Sb sqrt(Sa)))."""
+    feat_a = feat_a.reshape(feat_a.shape[0], -1).astype(jnp.float32)
+    feat_b = feat_b.reshape(feat_b.shape[0], -1).astype(jnp.float32)
+    mu_a = jnp.mean(feat_a, axis=0)
+    mu_b = jnp.mean(feat_b, axis=0)
+    sa = _cov(feat_a)
+    sb = _cov(feat_b)
+    diff2 = jnp.sum(jnp.square(mu_a - mu_b))
+    sqrt_sa = _sym_sqrtm(sa)
+    middle = _sym_sqrtm(sqrt_sa @ sb @ sqrt_sa)
+    return diff2 + jnp.trace(sa) + jnp.trace(sb) - 2.0 * jnp.trace(middle)
+
+
+@jax.jit
+def inception_score(probs: jnp.ndarray, eps: float = 1e-16) -> jnp.ndarray:
+    """IS = exp(E_x KL(p(y|x) || p(y))) for (N, C) probability rows
+    (the formula of the reference's commented block, :1240-1260)."""
+    probs = probs.astype(jnp.float32)
+    p_y = jnp.mean(probs, axis=0, keepdims=True)
+    kl = probs * (jnp.log(probs + eps) - jnp.log(p_y + eps))
+    return jnp.exp(jnp.mean(jnp.sum(kl, axis=1)))

@@ -1,0 +1,62 @@
+"""Tests for FID / inception score / profiling helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shmgan_tpu.eval.fid import frechet_distance, inception_score
+from shmgan_tpu.utils.profiling import debug_mode, device_memory_stats
+
+
+class TestFrechetDistance:
+    def test_identical_sets_zero(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+        d = float(frechet_distance(x, x))
+        assert abs(d) < 1e-2
+
+    def test_mean_shift(self):
+        # FID between N(0,I) and N(m,I) samples approaches |m|^2
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (4000, 8)).astype(np.float32)
+        b = a + 3.0
+        d = float(frechet_distance(jnp.asarray(a), jnp.asarray(b)))
+        expect = 8 * 9.0
+        assert abs(d - expect) / expect < 0.05
+
+    def test_scale_difference_positive(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1, (2000, 4)).astype(np.float32)
+        b = rng.normal(0, 2, (2000, 4)).astype(np.float32)
+        d = float(frechet_distance(jnp.asarray(a), jnp.asarray(b)))
+        # tr(Sa) + tr(Sb) - 2 tr(sqrt(Sa Sb)) ~= sum (1-2)^2 = 4
+        assert 2.0 < d < 7.0
+
+    def test_symmetric(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.normal(0, 1, (500, 6)).astype(np.float32))
+        b = jnp.asarray(rng.normal(1, 1.5, (500, 6)).astype(np.float32))
+        np.testing.assert_allclose(float(frechet_distance(a, b)),
+                                   float(frechet_distance(b, a)), rtol=1e-3)
+
+
+class TestInceptionScore:
+    def test_uniform_predictions_score_one(self):
+        p = jnp.full((32, 10), 0.1)
+        np.testing.assert_allclose(float(inception_score(p)), 1.0, rtol=1e-5)
+
+    def test_confident_diverse_is_high(self):
+        # each sample confidently predicts a different class -> IS ~= C
+        p = jnp.eye(10)
+        s = float(inception_score(p))
+        assert s > 8.0
+
+
+class TestProfiling:
+    def test_debug_nans_raises(self):
+        with pytest.raises(FloatingPointError):
+            with debug_mode(nans=True):
+                jnp.log(jnp.zeros(())) * 0.0 / 0.0  # produces nan
+
+    def test_memory_stats_dict(self):
+        assert isinstance(device_memory_stats(), dict)
