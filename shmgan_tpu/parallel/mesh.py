@@ -41,9 +41,11 @@ def make_mesh(cfg: Config, devices: Optional[list] = None) -> Mesh:
     dp = cfg.mesh.data_parallel
     if dp == -1:
         dp = n // mp
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, mp)
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs more than the {n} devices present")
+    # An explicit smaller mesh is allowed (e.g. single-device runs on a multi-device
+    # host): use the first dp*mp devices.
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, (cfg.mesh.data_axis, cfg.mesh.model_axis))
 
 
