@@ -43,6 +43,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, step: Optional[int] = None) -> int:
         step = int(state.step) if step is None else int(step)
+        if step in (self._mgr.all_steps() or []):
+            return step  # idempotent (preempt save followed by final save)
         payload = {
             "step": state.step,
             "g_params": state.g_params,

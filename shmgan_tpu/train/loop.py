@@ -13,6 +13,7 @@ final checkpoint saves. Differences (all TPU-first):
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -30,10 +31,36 @@ from shmgan_tpu.train.step import make_train_step
 from shmgan_tpu.utils.logging import MetricsWriter, StepTimer, progress_bar
 
 
+class PreemptionGuard:
+    """Graceful-preemption handling (SURVEY.md §5 'failure detection': the reference
+    has none beyond restart-and-restore). SIGTERM/SIGINT set a flag; the train loop
+    checkpoints and exits cleanly at the next step boundary, so a preempted run
+    loses at most one step. Auto-resume on restart completes the contract."""
+
+    def __init__(self, install: bool = True):
+        self.requested = False
+        self._prev = {}
+        if install:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._prev[sig] = signal.signal(sig, self._handler)
+                except ValueError:  # non-main thread (tests)
+                    pass
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def restore(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+
+
 def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
-          max_steps: Optional[int] = None, verbose: bool = True) -> TrainState:
+          max_steps: Optional[int] = None, verbose: bool = True,
+          handle_preemption: bool = True) -> TrainState:
     """Run training; returns the final state. max_steps trims the run for tests."""
     log = print if verbose else (lambda *a, **k: None)
+    guard = PreemptionGuard(install=handle_preemption)
 
     # ---- data
     if dataset is None:
@@ -98,6 +125,14 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
                              prefix=f"epoch {epoch} ")
             if max_steps is not None and total_steps >= max_steps:
                 break
+            if guard.requested:
+                break
+
+        if guard.requested:
+            log("\n[preempt] signal received — checkpointing and exiting")
+            saved = ckpt.save(jax.device_get(state))
+            log(f"[ckpt] saved step {saved}")
+            break
 
         if (epoch + 1) % cfg.train.log_step == 0:
             dt = time.perf_counter() - t_epoch
@@ -114,4 +149,5 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
     ckpt.save(jax.device_get(state))
     ckpt.close()
     writer.close()
+    guard.restore()
     return state
