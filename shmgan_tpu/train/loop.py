@@ -87,6 +87,12 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
         f"D params: {param_count(state.d_params):,}  "
         f"SpecSeg params: {param_count(state.specseg_vars):,} (frozen)")
 
+    # architecture dumps, like the reference's per-run *_summary.txt
+    # (ShmGANwithSSpecSeg.py:916-919,934-935)
+    from shmgan_tpu.utils.viz import write_model_summaries
+    write_model_summaries(state.g_params, state.d_params, state.specseg_vars,
+                          out_dir=cfg.train.model_save_dir)
+
     # ---- checkpoint restore (reference restores whenever delete flag is off,
     # ShmGANwithSSpecSeg.py:949-951)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
