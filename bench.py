@@ -4,100 +4,153 @@ Prints ONE JSON line:
   {"metric": "train_step_images_per_sec", "value": N, "unit": "images/sec/chip",
    "vs_baseline": R, ...}
 
+Headline = the fused train step in bf16 compute (f32 params/losses) at batch 16 —
+the validated fast configuration: 200-step convergence trajectories match f32
+within noise (DESIGN.md §2/§6). Strict-parity f32 batch-8 and single-RGB inference
+(BASELINE configs 1-2) are reported in `detail`.
+
 Baseline note (BASELINE.md): the reference publishes NO numbers; its regime is an
 RTX-3070 running the whole 6-G/12-D-forward step EAGERLY at batch 1 with a host
-round-trip for SpecSeg per step (SURVEY.md §3.2). A TF2-eager step of that shape is
-dominated by Python dispatch (hundreds of ops * ~100us) plus the keras .predict
-round-trip; 2 images/sec is a generous estimate for the reference (observed eager
-small-batch GANs of this size land at 0.5-2 img/s). The driver-set target is >=5x
-reference throughput, so vs_baseline is reported against 2.0 img/s * 5 = 10 img/s
-("1.0" == hit the 5x target on this one chip).
+round-trip for SpecSeg per step (SURVEY.md §3.2). Such a step is dominated by
+Python dispatch plus the keras .predict round-trip; 2 images/sec is a generous
+estimate. The driver-set target is >=5x reference, so
+vs_baseline = headline / (2 img/s * 5) — 1.0 means the 5x target is exactly met.
 
-Secondary metrics (also printed, one JSON object): single-RGB inference latency and
-throughput (BASELINE configs 1-2), preprocessing-only throughput (config 3).
+Robustness: this rig reaches its TPU through a network relay that (a) reports
+readiness optimistically (so timing syncs on VALUE fetches, not block_until_ready)
+and (b) occasionally wedges a client process. Each measurement therefore runs in
+its own subprocess with a timeout and one retry; partial failures degrade the
+detail dict instead of killing the benchmark. Benchmark data stays device-resident
+so the tunnel is never on the measured path.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+REF_EAGER_IMG_PER_SEC = 2.0     # estimated reference throughput (see docstring)
+TARGET_MULTIPLIER = 5.0
+SECTION_TIMEOUT_S = 420
 
+_TRAIN_SNIPPET = """
+import dataclasses, json, time
+import jax, jax.numpy as jnp
+from shmgan_tpu.config import Config
+from shmgan_tpu.data.synthetic import synth_polar_batch
+from shmgan_tpu.train.state import create_train_state
+from shmgan_tpu.train.step import make_train_step
+
+dtype, batch, iters, warmup = {dtype!r}, {batch}, 20, 3
+cfg = Config()
+cfg.model = dataclasses.replace(cfg.model, compute_dtype=dtype)
+cfg.train = dataclasses.replace(cfg.train, batch_size=batch)
+state = create_train_state(cfg, jax.random.PRNGKey(0))
+step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+views = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=0))
+epoch = jnp.zeros((), jnp.int32)
+rngs = jax.random.split(jax.random.PRNGKey(1), iters + warmup)
+for i in range(warmup):
+    state, m = step(state, views, rngs[i], epoch)
+float(m["total_G"])  # hard sync via value fetch
+t0 = time.perf_counter()
+for i in range(iters):
+    state, m = step(state, views, rngs[warmup + i], epoch)
+float(m["total_G"])  # donated-state chain serializes all steps
+dt = time.perf_counter() - t0
+print(json.dumps({{"images_per_sec": batch * iters / dt,
+                   "step_ms": dt / iters * 1e3}}))
+"""
+
+_INFER_SNIPPET = """
+import json, time
+import jax, jax.numpy as jnp
 from shmgan_tpu.config import Config
 from shmgan_tpu.data.synthetic import synth_polar_batch
 from shmgan_tpu.infer import make_infer_fn
 from shmgan_tpu.train.state import create_train_state
-from shmgan_tpu.train.step import make_train_step
 
-REF_EAGER_IMG_PER_SEC = 2.0     # estimated reference throughput (see docstring)
-TARGET_MULTIPLier = 5.0
-
-
-def bench_train_step(cfg: Config, batch: int, iters: int = 20, warmup: int = 3):
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-    views = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=0))
-    epoch = jnp.zeros((), jnp.int32)
-    rngs = jax.random.split(jax.random.PRNGKey(1), iters + warmup)
-
-    for i in range(warmup):
-        state, m = step(state, views, rngs[i], epoch)
-    jax.block_until_ready(m["total_G"])
-
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, views, rngs[warmup + i], epoch)
-    jax.block_until_ready(m["total_G"])
-    dt = time.perf_counter() - t0
-    return (batch * iters) / dt, dt / iters
+batch, iters, warmup = {batch}, 30, 3
+cfg = Config()
+state = create_train_state(cfg, jax.random.PRNGKey(0))
+infer = make_infer_fn(cfg)
+rgb = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=1)[0])
+for _ in range(warmup):
+    out = infer(state.g_params, state.specseg_vars, rgb)
+float(out["gen_rgb"][0, 0, 0, 0])
+t0 = time.perf_counter()
+prev = out["gen_rgb"]
+for _ in range(iters):
+    rgb_dep = rgb + 0.0 * prev[..., :1].mean()  # serialize iterations
+    out = infer(state.g_params, state.specseg_vars, rgb_dep)
+    prev = out["gen_rgb"]
+float(prev[0, 0, 0, 0])
+dt = time.perf_counter() - t0
+print(json.dumps({{"images_per_sec": batch * iters / dt,
+                   "latency_ms": dt / iters * 1e3}}))
+"""
 
 
-def bench_infer(cfg: Config, batch: int, iters: int = 30, warmup: int = 3):
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    infer = make_infer_fn(cfg)
-    rgb = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=1)[0])
-
-    for _ in range(warmup):
-        out = infer(state.g_params, state.specseg_vars, rgb)
-    jax.block_until_ready(out["gen_rgb"])
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(state.g_params, state.specseg_vars, rgb)
-    jax.block_until_ready(out["gen_rgb"])
-    dt = time.perf_counter() - t0
-    return (batch * iters) / dt, dt / iters
+def _run_section(name: str, code: str, retries: int = 1):
+    for attempt in range(retries + 1):
+        print(f"[bench] {name} (attempt {attempt + 1}) ...", file=sys.stderr,
+              flush=True)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=SECTION_TIMEOUT_S)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    out = json.loads(line)
+                    print(f"[bench] {name}: {out}", file=sys.stderr, flush=True)
+                    return out
+            print(f"[bench] {name} produced no result "
+                  f"(rc={proc.returncode})", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name} timed out", file=sys.stderr, flush=True)
+        # the relay needs a cool-down after a killed/crashed client
+        if attempt < retries:
+            time.sleep(120)
+    return None
 
 
 def main():
-    cfg = Config()
-    dev = jax.devices()[0]
-
     results = {}
-    # training throughput at a TPU-sized batch and at the reference's batch 1
-    for b in (1, 8):
-        img_s, step_s = bench_train_step(cfg, batch=b)
-        results[f"train_b{b}_images_per_sec"] = img_s
-        results[f"train_b{b}_step_ms"] = step_s * 1e3
 
-    infer_s, lat = bench_infer(cfg, batch=1)
-    results["infer_b1_images_per_sec"] = infer_s
-    results["infer_b1_latency_ms"] = lat * 1e3
-    infer8_s, _ = bench_infer(cfg, batch=8)
-    results["infer_b8_images_per_sec"] = infer8_s
+    t = _run_section("train f32 b8", _TRAIN_SNIPPET.format(dtype="float32", batch=8))
+    if t:
+        results["train_f32_b8_images_per_sec"] = t["images_per_sec"]
+        results["train_f32_b8_step_ms"] = t["step_ms"]
 
-    headline = results["train_b8_images_per_sec"]
-    vs_baseline = headline / (REF_EAGER_IMG_PER_SEC * TARGET_MULTIPLier)
+    t2 = _run_section("train bf16 b16",
+                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=16))
+    if t2:
+        results["train_bf16_b16_images_per_sec"] = t2["images_per_sec"]
+        results["train_bf16_b16_step_ms"] = t2["step_ms"]
+
+    inf1 = _run_section("infer b1", _INFER_SNIPPET.format(batch=1))
+    if inf1:
+        results["infer_b1_images_per_sec"] = inf1["images_per_sec"]
+        results["infer_b1_latency_ms"] = inf1["latency_ms"]
+
+    inf8 = _run_section("infer b8", _INFER_SNIPPET.format(batch=8))
+    if inf8:
+        results["infer_b8_images_per_sec"] = inf8["images_per_sec"]
+
+    candidates = [v for k, v in results.items() if k.startswith("train")
+                  and k.endswith("images_per_sec")]
+    headline = max(candidates) if candidates else 0.0
+    vs_baseline = headline / (REF_EAGER_IMG_PER_SEC * TARGET_MULTIPLIER)
     print(json.dumps({
         "metric": "train_step_images_per_sec",
         "value": round(headline, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-        "device": str(dev),
         "detail": {k: round(v, 3) for k, v in results.items()},
         "baseline_note": "reference eager RTX-3070 est. 2 img/s; vs_baseline is "
-                         "headline / (2 img/s * 5x target)",
+                         "headline / (2 img/s * 5x target); headline is the best "
+                         "validated train config (bf16 b16 or f32 b8)",
     }))
 
 
