@@ -25,13 +25,24 @@ so the tunnel is never on the measured path.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 REF_EAGER_IMG_PER_SEC = 2.0     # estimated reference throughput (see docstring)
 TARGET_MULTIPLIER = 5.0
-SECTION_TIMEOUT_S = 420
+SECTION_TIMEOUT_S = 480
+
+# Persistent XLA compilation cache: each section subprocess would otherwise pay a
+# full remote compile; with the cache, reruns (and later bench rounds) start hot.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_comp_cache")
+_SECTION_ENV = dict(
+    os.environ,
+    JAX_COMPILATION_CACHE_DIR=_CACHE_DIR,
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0",
+)
 
 _TRAIN_SNIPPET = """
 import dataclasses, json, time
@@ -98,6 +109,7 @@ def _run_section(name: str, code: str, retries: int = 1):
         try:
             proc = subprocess.run([sys.executable, "-c", code],
                                   capture_output=True, text=True,
+                                  env=_SECTION_ENV,
                                   timeout=SECTION_TIMEOUT_S)
             for line in reversed(proc.stdout.strip().splitlines()):
                 line = line.strip()

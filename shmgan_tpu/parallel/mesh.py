@@ -34,6 +34,17 @@ from shmgan_tpu.config import Config
 _MIN_SHARDED_CHANNELS = 256
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize JAX's multi-host runtime when launched under a multi-host
+    coordinator (SURVEY.md §2.2: only needed if a multi-host topology is attached;
+    a single v5e slice or chip needs nothing). Safe no-op otherwise."""
+    import os
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(cfg: Config, devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)

@@ -88,6 +88,13 @@ def _iou(pred: jnp.ndarray, target: jnp.ndarray, thresh: float = 0.5) -> jnp.nda
     return jnp.where(union > 0, inter / jnp.maximum(union, 1e-7), 1.0)
 
 
+def specseg_vars_from_state(state: SpecSegTrainState):
+    """Package a trained SpecSeg state as the frozen variable tree the GAN pipeline
+    consumes (create_train_state(..., specseg_vars=...)) — replacing the
+    reference's separate specsegv3_chkpt.h5 hand-off (ShmGANwithSSpecSeg.py:931)."""
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
 def train_specseg(cfg: Config, images, masks, num_steps: int = 100,
                   batch_size: Optional[int] = None,
                   verbose: bool = False) -> SpecSegTrainState:
