@@ -237,6 +237,28 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
     return step_fn
 
 
+def make_scan_train_steps(cfg: Config, unroll: int = 1):
+    """K train steps as ONE device computation via lax.scan.
+
+    fn(state, batches (K,V,B,H,W,3), rngs (K,2) uint32 keys, epoch) ->
+    (state, stacked metrics). Removes the per-step host dispatch — on hosts that
+    reach the TPU through a network relay (or any slow dispatch path) this turns K
+    round-trips into one. Metrics come back stacked (K,) per entry.
+    """
+    step_fn = make_train_step(cfg)
+
+    def scan_fn(state: TrainState, batches: jnp.ndarray, rngs: jax.Array,
+                epoch: jnp.ndarray):
+        def body(carry, xs):
+            batch, rng = xs
+            new_state, metrics = step_fn(carry, batch, rng, epoch)
+            return new_state, metrics
+
+        return lax.scan(body, state, (batches, rngs), unroll=unroll)
+
+    return scan_fn
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _jitted_step(step_fn, state, views, rng, epoch):
     return step_fn(state, views, rng, epoch)
