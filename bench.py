@@ -81,21 +81,30 @@ from shmgan_tpu.data.synthetic import synth_polar_batch
 from shmgan_tpu.infer import make_infer_fn
 from shmgan_tpu.train.state import create_train_state
 
-batch, iters, warmup = {batch}, 30, 3
+# Iterations are chained INSIDE one jit (lax.scan with the output feeding the next
+# input) so the measurement excludes host dispatch entirely: this host reaches the
+# TPU through a relay whose per-dispatch round-trip (~55ms) would otherwise swamp
+# the ~1-2ms on-chip latency.
+batch, iters = {batch}, 50
 cfg = Config()
 state = create_train_state(cfg, jax.random.PRNGKey(0))
 infer = make_infer_fn(cfg)
 rgb = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=1)[0])
-for _ in range(warmup):
-    out = infer(state.g_params, state.specseg_vars, rgb)
-float(out["gen_rgb"][0, 0, 0, 0])
+
+@jax.jit
+def chained(g_params, specseg_vars, rgb):
+    def body(carry, _):
+        out = infer(g_params, specseg_vars, carry)
+        nxt = rgb + 0.0 * out["gen_rgb"][..., :1].mean()
+        return nxt, out["gen_rgb"][0, 0, 0, 0]
+    _, ys = jax.lax.scan(body, rgb, None, length=iters)
+    return ys
+
+ys = chained(state.g_params, state.specseg_vars, rgb)
+float(ys[0])  # warmup + compile
 t0 = time.perf_counter()
-prev = out["gen_rgb"]
-for _ in range(iters):
-    rgb_dep = rgb + 0.0 * prev[..., :1].mean()  # serialize iterations
-    out = infer(state.g_params, state.specseg_vars, rgb_dep)
-    prev = out["gen_rgb"]
-float(prev[0, 0, 0, 0])
+ys = chained(state.g_params, state.specseg_vars, rgb)
+float(ys[-1])
 dt = time.perf_counter() - t0
 print(json.dumps({{"images_per_sec": batch * iters / dt,
                    "latency_ms": dt / iters * 1e3}}))

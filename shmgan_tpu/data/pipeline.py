@@ -23,14 +23,15 @@ class DevicePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, it: Iterator[np.ndarray], mesh=None, depth: int = 2):
+    def __init__(self, it: Iterator[np.ndarray], mesh=None, depth: int = 2,
+                 spatial: bool = False):
         self._mesh = mesh
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
 
         def put(batch):
             if self._mesh is not None:
-                sh = batch_sharding(self._mesh, ndim=batch.ndim)
+                sh = batch_sharding(self._mesh, ndim=batch.ndim, spatial=spatial)
                 return jax.device_put(batch, sh)
             return jax.device_put(batch)
 

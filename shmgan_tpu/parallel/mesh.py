@@ -60,15 +60,22 @@ def make_mesh(cfg: Config, devices: Optional[list] = None) -> Mesh:
     return Mesh(arr, (cfg.mesh.data_axis, cfg.mesh.model_axis))
 
 
-def batch_sharding(mesh: Mesh, batch_axis_index: int = 1, ndim: int = 5) -> NamedSharding:
-    """Sharding for a (V, B, H, W, 3) stacked-views batch: B over the data axis."""
+def batch_sharding(mesh: Mesh, batch_axis_index: int = 1, ndim: int = 5,
+                   spatial: bool = False) -> NamedSharding:
+    """Sharding for a (V, B, H, W, 3) stacked-views batch: B over the data axis;
+    with spatial=True, H additionally shards over the model axis (the vision
+    analogue of sequence parallelism — XLA GSPMD inserts the conv halo
+    exchanges; SURVEY.md §2.2 'optional extension')."""
     spec = [None] * ndim
     spec[batch_axis_index] = mesh.axis_names[0]
+    if spatial and ndim >= 4:
+        spec[batch_axis_index + 1] = mesh.axis_names[1]  # H axis
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(views, mesh: Mesh):
-    return jax.device_put(views, batch_sharding(mesh, ndim=views.ndim))
+def shard_batch(views, mesh: Mesh, spatial: bool = False):
+    return jax.device_put(views, batch_sharding(mesh, ndim=views.ndim,
+                                                spatial=spatial))
 
 
 def _param_spec(path_keys: str, leaf, mesh: Mesh, model_parallel: bool) -> P:
@@ -86,9 +93,10 @@ def _param_spec(path_keys: str, leaf, mesh: Mesh, model_parallel: bool) -> P:
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """A NamedSharding tree matching `params`."""
-    model_parallel = mesh.shape[mesh.axis_names[1]] > 1
+def param_shardings(params: Any, mesh: Mesh, spatial: bool = False) -> Any:
+    """A NamedSharding tree matching `params`. In spatial mode the model axis is
+    occupied by activation-H sharding, so parameters replicate."""
+    model_parallel = mesh.shape[mesh.axis_names[1]] > 1 and not spatial
 
     def one(path, leaf):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
@@ -97,13 +105,13 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_train_state(state, mesh: Mesh):
+def shard_train_state(state, mesh: Mesh, spatial: bool = False):
     """Place a TrainState on the mesh: params per the TP rules (opt state mirrors its
     params automatically via tree structure), everything else replicated."""
     replicated = NamedSharding(mesh, P())
 
-    g_sh = param_shardings(state.g_params, mesh)
-    d_sh = param_shardings(state.d_params, mesh)
+    g_sh = param_shardings(state.g_params, mesh, spatial=spatial)
+    d_sh = param_shardings(state.d_params, mesh, spatial=spatial)
 
     def put(tree, sh):
         return jax.tree_util.tree_map(jax.device_put, tree, sh)

@@ -106,7 +106,7 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
             start_epoch = steps_done // max(dataset.batches_per_epoch, 1)
             log(f"[ckpt] restored step {steps_done} (epoch {start_epoch})")
 
-    state = shard_train_state(state, mesh)
+    state = shard_train_state(state, mesh, spatial=cfg.mesh.spatial_sharding)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
     writer = MetricsWriter(cfg.train.log_dir)
@@ -116,7 +116,8 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
     for epoch in range(start_epoch, cfg.train.num_epochs):
         epoch_arr = jnp.asarray(epoch, jnp.int32)
         feed = DevicePrefetcher(dataset.iter_epoch(), mesh=mesh,
-                                depth=cfg.data.prefetch)
+                                depth=cfg.data.prefetch,
+                                spatial=cfg.mesh.spatial_sharding)
         t_epoch = time.perf_counter()
         for batch_idx, views in enumerate(feed):
             rng, step_rng = jax.random.split(rng)
