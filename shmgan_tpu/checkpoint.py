@@ -15,10 +15,8 @@ step) is one PyTree saved atomically by Orbax — crash-safe resume by construct
 from __future__ import annotations
 
 import os
-import re
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,7 @@ approximates the diffuse image exactly like the reference's estimated-diffuse op
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

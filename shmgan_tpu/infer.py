@@ -13,8 +13,7 @@ remaining Y channels are zero and the target label is ED (test.py:227-235).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

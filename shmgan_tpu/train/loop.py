@@ -19,7 +19,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_h5
 from shmgan_tpu.config import Config

@@ -10,7 +10,6 @@ Adam/exp-decay recipe as the GAN.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax.struct

@@ -13,7 +13,7 @@ import json
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricsWriter:
