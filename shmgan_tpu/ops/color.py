@@ -75,6 +75,50 @@ def delta_e_76(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(jnp.square(lab1 - lab2), axis=-1))
 
 
+def gray_world_white_balance(rgb: jnp.ndarray, strength: float = 1.1) -> jnp.ndarray:
+    """Gray-world white balance in Lab space.
+
+    Working version of the reference's commented-out white_balance helper
+    (utils.py:130-137): shift the a/b chroma channels toward neutral by the
+    luminance-weighted average cast. rgb in [0,1], (B,H,W,3) or (H,W,3).
+    """
+    lab = rgb_to_lab(jnp.clip(rgb, 0.0, 1.0))
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    axes = tuple(range(lab.ndim - 3, lab.ndim - 1))  # spatial dims
+    avg_a = jnp.mean(a, axis=axes, keepdims=True)
+    avg_b = jnp.mean(b, axis=axes, keepdims=True)
+    lw = (L / 100.0) * strength
+    a = a - avg_a * lw
+    b = b - avg_b * lw
+    return lab_to_rgb(jnp.stack([L, a, b], axis=-1))
+
+
+def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
+    """CIE Lab (D65) -> sRGB in [0,1] (inverse of rgb_to_lab)."""
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    eps = 0.008856
+    kappa = 7.787
+
+    def f_inv(t):
+        t3 = t ** 3
+        return jnp.where(t3 > eps, t3, (t - 16.0 / 116.0) / kappa)
+
+    xyz = jnp.stack([f_inv(fx), f_inv(fy), f_inv(fz)], axis=-1) * _XYZ_REF_WHITE
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    # XYZ -> linear sRGB (inverse of the matrix in rgb_to_lab)
+    r = 3.240481 * x + -1.537152 * y + -0.498536 * z
+    g = -0.969255 * x + 1.875990 * y + 0.041556 * z
+    bl = 0.055647 * x + -0.204041 * y + 1.057311 * z
+    linear = jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 1.0)
+    srgb = jnp.where(linear > 0.0031308,
+                     1.055 * jnp.power(linear, 1.0 / 2.4) - 0.055,
+                     12.92 * linear)
+    return jnp.clip(srgb, 0.0, 1.0)
+
+
 def delta_e_94(lab1: jnp.ndarray, lab2: jnp.ndarray,
                kH: float = 1.0, kC: float = 1.0, kL: float = 1.0,
                k1: float = 0.045, k2: float = 0.015) -> jnp.ndarray:

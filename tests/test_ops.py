@@ -190,3 +190,23 @@ class TestPolar:
         ref = np.einsum("bijc,bijd->bcd", x, x) / (4 * 4)
         np.testing.assert_allclose(g, ref, rtol=1e-5)
         assert g.shape == (2, 3, 3)
+
+
+class TestWhiteBalance:
+    def test_lab_roundtrip(self):
+        from shmgan_tpu.ops.color import lab_to_rgb
+        rgb = jnp.asarray(RNG.uniform(0.05, 0.95, (2, 8, 8, 3)).astype(np.float32))
+        back = lab_to_rgb(rgb_to_lab(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=2e-3)
+
+    def test_gray_world_reduces_cast(self):
+        from shmgan_tpu.ops.color import gray_world_white_balance
+        # strong red cast on a gray-ish scene
+        base = RNG.uniform(0.3, 0.6, (1, 16, 16, 3)).astype(np.float32)
+        cast = base.copy()
+        cast[..., 0] = np.clip(cast[..., 0] + 0.25, 0, 1)
+        out = np.asarray(gray_world_white_balance(jnp.asarray(cast)))
+        lab_in = np.asarray(rgb_to_lab(jnp.asarray(cast)))
+        lab_out = np.asarray(rgb_to_lab(jnp.asarray(out)))
+        # mean chroma magnitude must shrink toward neutral
+        assert np.abs(lab_out[..., 1]).mean() < np.abs(lab_in[..., 1]).mean()
