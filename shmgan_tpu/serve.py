@@ -1,0 +1,115 @@
+"""Batch inference engine — the deployable serving path.
+
+The reference's "serving" is test.py's per-image eager loop with host round-trips.
+This engine compiles the fused mask->generator graph ONCE at a fixed batch size,
+keeps weights device-resident, pads partial batches to the compiled shape (no
+recompiles, ever), and overlaps host IO with device compute via a worker pool.
+
+    engine = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars)
+    outputs = engine.process_images(rgb_batch)          # numpy in, numpy out
+    engine.process_folder(in_dir, out_dir)              # end-to-end folder job
+    engine.watch_folder(in_dir, out_dir, poll_s=1.0)    # daemon mode
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.data.loader import decode_resize, list_images
+from shmgan_tpu.infer import make_infer_fn
+
+
+class BatchInferenceEngine:
+    def __init__(self, cfg: Config, g_params, specseg_vars, batch_size: int = 8,
+                 with_cyclic: bool = False, num_io_workers: int = 4):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.image_size = cfg.model.image_size
+        self._infer = make_infer_fn(cfg, with_cyclic=with_cyclic)
+        # weights stay resident on device for the engine's lifetime
+        self._g_params = jax.device_put(g_params)
+        self._specseg_vars = jax.device_put(specseg_vars)
+        self._io = ThreadPoolExecutor(max_workers=num_io_workers)
+
+    # -- core ---------------------------------------------------------------
+
+    def process_images(self, rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        """(N, H, W, 3) float32 [0,1] -> dict of numpy outputs (N leading dim).
+
+        N may be anything; batches are padded to the compiled batch size so the
+        jit never re-traces.
+        """
+        n = rgb.shape[0]
+        outs = []
+        for i in range(0, n, self.batch_size):
+            chunk = rgb[i:i + self.batch_size]
+            real = chunk.shape[0]
+            if real < self.batch_size:
+                pad = np.zeros((self.batch_size - real,) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            out = self._infer(self._g_params, self._specseg_vars,
+                              jnp.asarray(chunk))
+            # trim padding from every batch-leading output
+            outs.append({k: np.asarray(v)[:real]
+                         if np.ndim(v) and np.shape(v)[0] == self.batch_size else
+                         np.asarray(v)
+                         for k, v in out.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    # -- folder jobs ----------------------------------------------------------
+
+    def _save_outputs(self, out: Dict[str, np.ndarray], names, out_dir: str,
+                      save_mask: bool):
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        gen = out["gen_rgb"]
+        for j, name in enumerate(names):
+            img = gen[j]
+            lo, hi = img.min(), img.max()
+            vis = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+            base = os.path.splitext(os.path.basename(name))[0]
+            Image.fromarray((vis * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{base}_specfree.png"))
+            if save_mask:
+                m = (np.clip(out["mask"][j, ..., 0], 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(m).save(os.path.join(out_dir, f"{base}_mask.png"))
+
+    def process_folder(self, in_dir: str, out_dir: str,
+                       save_mask: bool = True) -> int:
+        files = list_images(in_dir)
+        return self._process_files(files, out_dir, save_mask)
+
+    def _process_files(self, files, out_dir: str, save_mask: bool) -> int:
+        if not files:
+            return 0
+        decoded = list(self._io.map(
+            lambda p: decode_resize(p, self.image_size), files))
+        out = self.process_images(np.stack(decoded))
+        self._save_outputs(out, files, out_dir, save_mask)
+        return len(files)
+
+    def watch_folder(self, in_dir: str, out_dir: str, poll_s: float = 1.0,
+                     save_mask: bool = True, max_iterations: Optional[int] = None):
+        """Daemon mode: poll in_dir, process new images as they arrive.
+        max_iterations bounds the loop for tests; None runs forever."""
+        seen: Set[str] = set()
+        it = 0
+        while max_iterations is None or it < max_iterations:
+            fresh = [f for f in list_images(in_dir) if f not in seen]
+            if fresh:
+                n = self._process_files(fresh, out_dir, save_mask)
+                seen.update(fresh)
+                print(f"[serve] processed {n} image(s)")
+            else:
+                time.sleep(poll_s)
+            it += 1
