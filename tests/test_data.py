@@ -133,3 +133,16 @@ class TestDevicePrefetcher:
         data = [np.zeros((5, 8, 8, 8, 3), np.float32)]
         out = list(DevicePrefetcher(iter(data), mesh=mesh))
         assert len(out[0].sharding.device_set) == 8
+
+
+class TestPsdNaming:
+    def test_psd_view_dirs(self, tmp_path):
+        # the reference's active naming scheme for the PSD dataset
+        # (datasetLoader.py:29-33): I0/I60/I90/I150/ED
+        root = str(tmp_path / "psd")
+        write_fixture_tree(root, n_images=2, image_size=16, seed=3,
+                           view_dirs=("I0", "I60", "I90", "I150", "ED"))
+        cfg = DataConfig(data_dir=root, use_psd_naming=True)
+        ds = PolarimetricDataset(cfg, image_size=16, batch_size=1)
+        batch = next(ds.iter_epoch())
+        assert batch.shape == (5, 1, 16, 16, 3)
