@@ -69,6 +69,9 @@ class ModelConfig:
     # Compute dtype for the model bodies. Params are always f32; bf16 compute engages
     # the MXU's native precision.  f32 is the parity mode.
     compute_dtype: str = "float32"
+    # Use the fused Pallas instance-norm kernel (ops/pallas/instance_norm.py)
+    # inside G and D. TPU-only; identical math (A/B benched, see DESIGN.md).
+    use_pallas_instance_norm: bool = False
 
 
 @dataclass

@@ -51,15 +51,26 @@ class InstanceNorm(nn.Module):
     reference's built Keras graphs did NOT actually track these gamma/beta variables
     (SURVEY.md §2 quirks; G/D summary param counts exclude them) — here they are real
     trainable parameters, matching the tfa layer's intent.
+
+    use_pallas selects the fused single-read TPU kernel
+    (ops/pallas/instance_norm.py) when the activation fits VMEM; identical math.
     """
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", w_init(), (c,), jnp.float32)
+        if self.use_pallas:
+            from shmgan_tpu.ops.pallas.instance_norm import (
+                fits_vmem, instance_norm_pallas,
+            )
+            if fits_vmem(*x.shape[1:]):
+                return instance_norm_pallas(x, gamma, beta, self.eps
+                                            ).astype(self.dtype)
         # Normalize in f32 for stability regardless of compute dtype.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
@@ -77,6 +88,7 @@ class ConvIN(nn.Module):
     dtype: Dtype = jnp.float32
     slope: float = 0.2
     eps: float = 1e-6
+    in_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +96,8 @@ class ConvIN(nn.Module):
                     padding="SAME", kernel_init=w_init(), dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
         x = leaky_relu(x, self.slope)
-        x = InstanceNorm(eps=self.eps, dtype=self.dtype, name="inorm")(x)
+        x = InstanceNorm(eps=self.eps, dtype=self.dtype, name="inorm",
+                         use_pallas=self.in_pallas)(x)
         return x
 
 
@@ -95,6 +108,7 @@ class ConvLReLUIN(nn.Module):
     dtype: Dtype = jnp.float32
     slope: float = 0.2
     eps: float = 1e-6
+    in_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +116,8 @@ class ConvLReLUIN(nn.Module):
                     use_bias=False, kernel_init=w_init(), dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
         x = leaky_relu(x, self.slope)
-        x = InstanceNorm(eps=self.eps, dtype=self.dtype, name="inorm")(x)
+        x = InstanceNorm(eps=self.eps, dtype=self.dtype, name="inorm",
+                         use_pallas=self.in_pallas)(x)
         return x
 
 

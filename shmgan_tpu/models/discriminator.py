@@ -36,6 +36,7 @@ class SHMDiscriminator(nn.Module):
     slope: float = 0.2
     noise_stddev: float = 0.1
     dropout_rate: float = 0.2
+    in_pallas: bool = False
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, mask: jnp.ndarray, *,
@@ -52,7 +53,8 @@ class SHMDiscriminator(nn.Module):
         widths = (n, n * 2, n * 4, n * 8)
         for i, w in enumerate(widths):
             x = ConvLReLUIN(w, dtype=self.dtype, slope=self.slope,
-                            eps=self.instance_norm_eps, name=f"block{i}")(x)
+                            eps=self.instance_norm_eps, name=f"block{i}",
+                            in_pallas=self.in_pallas)(x)
 
         # Mask attention at the 8N feature resolution: the mask is pooled 16x16 from
         # full res (reference poolsize=(16,16), :358), matching H/16 == feature H/16?
@@ -62,7 +64,8 @@ class SHMDiscriminator(nn.Module):
         x = x + attn
 
         x = ConvLReLUIN(n * 16, dtype=self.dtype, slope=self.slope,
-                        eps=self.instance_norm_eps, name="block4")(x)
+                        eps=self.instance_norm_eps, name="block4",
+                        in_pallas=self.in_pallas)(x)
 
         x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
 

@@ -39,11 +39,12 @@ class SHMGenerator(nn.Module):
     dtype: Any = jnp.float32
     instance_norm_eps: float = 1e-6
     slope: float = 0.2
+    in_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         n = self.filter_size
-        kw = dict(dtype=self.dtype, slope=self.slope)
+        kw = dict(dtype=self.dtype, slope=self.slope, in_pallas=self.in_pallas)
 
         skips = []
         pooled = mask.astype(self.dtype)
@@ -65,7 +66,7 @@ class SHMGenerator(nn.Module):
 
         for ulvl in range(self.levels):
             feats = n * (2 ** (self.levels - 1 - ulvl))  # 512, 256, 128, 64
-            x = ConvTransposeUp(feats, name=f"up{ulvl}_t", **kw)(x)
+            x = ConvTransposeUp(feats, name=f"up{ulvl}_t", dtype=self.dtype, slope=self.slope)(x)
             x = jnp.concatenate([x, skips[self.levels - 1 - ulvl]], axis=-1)
             x = ConvIN(feats, eps=self.instance_norm_eps, name=f"up{ulvl}_0", **kw)(x)
             x = ConvIN(feats, eps=self.instance_norm_eps, name=f"up{ulvl}_1", **kw)(x)

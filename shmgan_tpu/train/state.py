@@ -58,12 +58,14 @@ def build_models(cfg: Config):
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     gen = SHMGenerator(filter_size=cfg.model.filter_size, c_dim=cfg.model.c_dim,
                        dtype=dtype, instance_norm_eps=cfg.model.instance_norm_eps,
-                       slope=cfg.model.leaky_relu_slope)
+                       slope=cfg.model.leaky_relu_slope,
+                       in_pallas=cfg.model.use_pallas_instance_norm)
     disc = SHMDiscriminator(filter_size=cfg.model.filter_size, c_dim=cfg.model.c_dim,
                             dtype=dtype, instance_norm_eps=cfg.model.instance_norm_eps,
                             slope=cfg.model.leaky_relu_slope,
                             noise_stddev=cfg.model.d_input_noise,
-                            dropout_rate=cfg.model.d_dropout)
+                            dropout_rate=cfg.model.d_dropout,
+                            in_pallas=cfg.model.use_pallas_instance_norm)
     specseg = SpecSeg(base_filters=cfg.model.specseg_base_filters, dtype=dtype)
     return gen, disc, specseg
 

@@ -63,3 +63,22 @@ class TestInstanceNormPallas:
     def test_fits_vmem_guard(self):
         assert fits_vmem(128, 128, 64)
         assert not fits_vmem(512, 512, 64)
+
+
+def test_generator_with_pallas_in_matches(monkeypatch):
+    """G forward with the Pallas IN (interpret mode) equals the XLA IN path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from shmgan_tpu.models import SHMGenerator
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 128, 10))
+    mask = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 128, 1))
+    g_ref = SHMGenerator(filter_size=8, in_pallas=False)
+    params = g_ref.init(jax.random.PRNGKey(2), x, mask)["params"]
+    out_ref = g_ref.apply({"params": params}, x, mask)
+    g_pl = SHMGenerator(filter_size=8, in_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_pl = g_pl.apply({"params": params}, x, mask)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                               rtol=1e-3, atol=1e-4)
