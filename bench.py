@@ -126,8 +126,9 @@ def _run_section(name: str, code: str, retries: int = 1):
                     out = json.loads(line)
                     print(f"[bench] {name}: {out}", file=sys.stderr, flush=True)
                     return out
-            print(f"[bench] {name} produced no result "
-                  f"(rc={proc.returncode})", file=sys.stderr, flush=True)
+            tail = "\n".join(proc.stderr.strip().splitlines()[-6:])
+            print(f"[bench] {name} produced no result (rc={proc.returncode}); "
+                  f"stderr tail:\n{tail}", file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
             print(f"[bench] {name} timed out", file=sys.stderr, flush=True)
         # the relay needs a cool-down after a killed/crashed client
