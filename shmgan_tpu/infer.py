@@ -60,10 +60,17 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
         gen_y = gen.apply({"params": g_params}, gen_input, mask)
         gen_yuv = jnp.concatenate([gen_y, cbcr], axis=-1)
         gen_rgb = yuv_to_rgb(gen_yuv)
-        denorm = yuv_to_rgb(gen_yuv * stats.stddev.reshape(-1, 1, 1, 1) * 255.0)
+        scale = stats.stddev.reshape(-1, 1, 1, 1)
+        denorm = yuv_to_rgb(gen_yuv * scale * 255.0)
+        # exact inverse of the input standardization (÷stddev): the calibrated
+        # output lives in the input's [0,1] RGB domain and is directly comparable
+        # to ground truth — the reference never closes this loop (its metrics run
+        # on the standardized-scale gen_rgb, test.py:336-347, and its preview
+        # multiplies by a global running-mean stddev ×255, test.py:246-249).
+        calibrated = jnp.clip(yuv_to_rgb(gen_yuv * scale), 0.0, 1.0)
 
-        out = {"gen_rgb": gen_rgb, "gen_rgb_denorm": denorm, "mask": mask,
-               "gen_y": gen_y}
+        out = {"gen_rgb": gen_rgb, "gen_rgb_denorm": denorm,
+               "gen_rgb_calibrated": calibrated, "mask": mask, "gen_y": gen_y}
 
         if with_cyclic:
             # CONFIG B (test.py:260-264): every non-target channel carries the

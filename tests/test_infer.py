@@ -98,3 +98,22 @@ class TestEvalHarness:
         acc.dump_jsonl(p)
         lines = [json.loads(l) for l in open(p)]
         assert len(lines) == 2 and "mean" in lines[-1]
+
+
+class TestCalibratedOutput:
+    def test_calibration_inverts_standardization(self, setup):
+        # feeding the pipeline an identity task: if gen_y were exactly the
+        # standardized input Y, the calibrated output would reproduce the input
+        # RGB. We can't force gen_y, but we can check the calibrated output is in
+        # [0,1] and that calibration = gen_rgb * stddev (linearity of yuv_to_rgb).
+        from shmgan_tpu.ops.color import rgb_to_yuv
+        from shmgan_tpu.ops.standardize import per_image_standardization
+        cfg, state, rgb = setup
+        from shmgan_tpu.infer import make_infer_fn
+        out = make_infer_fn(cfg)(state.g_params, state.specseg_vars, rgb)
+        cal = np.asarray(out["gen_rgb_calibrated"])
+        assert cal.min() >= 0.0 and cal.max() <= 1.0
+        _, stats = per_image_standardization(rgb_to_yuv(rgb))
+        expect = np.clip(np.asarray(out["gen_rgb"])
+                         * np.asarray(stats.stddev).reshape(-1, 1, 1, 1), 0, 1)
+        np.testing.assert_allclose(cal, expect, atol=1e-5)
