@@ -77,3 +77,15 @@ class TestCliTestMode:
         assert "metrics.jsonl" in results
         out = capsys.readouterr().out
         assert "MEAN" in out
+
+
+class TestSpatialLoopE2E:
+    def test_train_with_spatial_sharding(self, fixture_root):
+        # full driver path with dp=4 x mp=2 spatial sharding on the CPU mesh
+        from shmgan_tpu.train.loop import train
+        cfg = tiny_config(fixture_root, run_name="spatial")
+        cfg.train = dataclasses.replace(cfg.train, batch_size=4)
+        cfg.mesh = dataclasses.replace(cfg.mesh, data_parallel=4, model_parallel=2,
+                                       spatial_sharding=True)
+        state = train(cfg, max_steps=1, verbose=False)
+        assert int(jax.device_get(state.step)) == 1

@@ -65,3 +65,18 @@ class TestDeviceReport:
         rep = device_report()
         assert rep["device_count"] == len(jax.devices())
         assert rep["devices"][0]["platform"] == "cpu"
+
+
+class TestTraceCapture:
+    def test_trace_writes_files(self, tmp_path):
+        import glob
+        import jax.numpy as jnp
+        from shmgan_tpu.utils.profiling import annotate, trace
+        d = str(tmp_path / "trace")
+        with trace(d):
+            with annotate("matmul"):
+                x = jnp.ones((64, 64))
+                (x @ x).block_until_ready()
+        files = glob.glob(d + "/**/*", recursive=True)
+        assert any("xplane" in f or f.endswith(".pb") or ".trace" in f
+                   for f in files), files
