@@ -137,7 +137,35 @@ def _run_section(name: str, code: str, retries: int = 1):
     return None
 
 
+def _other_tpu_clients() -> list:
+    """PIDs of other python processes that look like TPU benchmark/training runs.
+    Two clients sharing this rig's TPU relay silently corrupt each other's
+    numbers (measured), so bench refuses to race them."""
+    import subprocess as sp
+    me = str(os.getpid())
+    try:
+        out = sp.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+    except Exception:
+        return []
+    pids = []
+    for line in out.splitlines():
+        line = line.strip()
+        if not line or line.startswith(me + " "):
+            continue
+        if ("bench.py" in line or "shmgan" in line) and "python" in line \
+                and "pytest" not in line and "claude" not in line:
+            pid = line.split()[0]
+            if pid != me:
+                pids.append(pid)
+    return pids
+
+
 def main():
+    others = _other_tpu_clients()
+    if others:
+        print(f"[bench] WARNING: other TPU client processes detected ({others}); "
+              "numbers may be corrupted by relay contention", file=sys.stderr,
+              flush=True)
     results = {}
 
     t = _run_section("train f32 b8", _TRAIN_SNIPPET.format(dtype="float32", batch=8))

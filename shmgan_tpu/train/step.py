@@ -39,7 +39,6 @@ config.py), D GaussianNoise + dropout on the live (training=True) D pass only.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -259,13 +258,7 @@ def make_scan_train_steps(cfg: Config, unroll: int = 1):
     return scan_fn
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _jitted_step(step_fn, state, views, rng, epoch):
-    return step_fn(state, views, rng, epoch)
-
-
 def train_step(cfg: Config):
     """Return a jitted (state, views, rng, epoch) -> (state, metrics) callable with
     donated state (in-place HBM reuse of params/opt buffers)."""
-    fn = make_train_step(cfg)
-    return functools.partial(_jitted_step, fn)
+    return jax.jit(make_train_step(cfg), donate_argnums=(0,))
