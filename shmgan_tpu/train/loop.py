@@ -56,8 +56,16 @@ class PreemptionGuard:
 
 def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
           max_steps: Optional[int] = None, verbose: bool = True,
-          handle_preemption: bool = True) -> TrainState:
-    """Run training; returns the final state. max_steps trims the run for tests."""
+          handle_preemption: bool = True,
+          eval_inputs=None, eval_targets=None,
+          eval_every_epochs: int = 10) -> TrainState:
+    """Run training; returns the final state. max_steps trims the run for tests.
+
+    eval_inputs/eval_targets: optional held-out (N,H,W,3) RGB pairs (specular
+    input, diffuse ground truth). When given, a PSNR/SSIM/MSE/deltaE eval runs
+    every `eval_every_epochs` epochs on the calibrated single-RGB inference output
+    and lands in the metrics jsonl under eval/* (BASELINE config 5: "data-parallel
+    training with periodic PSNR/SSIM eval")."""
     log = print if verbose else (lambda *a, **k: None)
     guard = PreemptionGuard(install=handle_preemption)
 
@@ -108,6 +116,22 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
     state = shard_train_state(state, mesh, spatial=cfg.mesh.spatial_sharding)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
+    infer_fn = None
+    if eval_inputs is not None and eval_targets is not None:
+        from shmgan_tpu.eval.metrics import evaluate_pair
+        from shmgan_tpu.infer import make_infer_fn
+        infer_fn = make_infer_fn(cfg)
+        eval_inputs = jnp.asarray(eval_inputs)
+        eval_targets = jnp.asarray(eval_targets)
+
+        def run_eval(state, epoch):
+            out = infer_fn(state.g_params, state.specseg_vars, eval_inputs)
+            m = evaluate_pair(out["gen_rgb_calibrated"], eval_targets)
+            means = {k: float(jax.device_get(v).mean()) for k, v in m.items()}
+            writer.write(int(jax.device_get(state.step)), means, prefix="eval/")
+            log(f"[eval epoch {epoch}] " + "  ".join(
+                f"{k}={v:.4f}" for k, v in means.items()))
+
     writer = MetricsWriter(cfg.train.log_dir)
     epoch_timer = StepTimer()
     total_steps = 0
@@ -144,6 +168,9 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
             dt = time.perf_counter() - t_epoch
             log(f"\n[epoch {epoch + 1}] {dt:.1f}s  "
                 f"{epoch_timer.images_per_sec:.2f} img/s")
+
+        if infer_fn is not None and (epoch + 1) % eval_every_epochs == 0:
+            run_eval(state, epoch + 1)
 
         if (epoch + 1) % cfg.train.checkpoint_save_step == 0:
             saved = ckpt.save(jax.device_get(state))

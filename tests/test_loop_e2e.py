@@ -89,3 +89,26 @@ class TestSpatialLoopE2E:
                                        spatial_sharding=True)
         state = train(cfg, max_steps=1, verbose=False)
         assert int(jax.device_get(state.step)) == 1
+
+
+class TestPeriodicEval:
+    def test_eval_metrics_logged(self, fixture_root):
+        # BASELINE config 5: periodic PSNR/SSIM eval during training
+        import numpy as np
+        from shmgan_tpu.data.synthetic import synth_polar_scene
+        from shmgan_tpu.train.loop import train
+        cfg = tiny_config(fixture_root, n_epochs=1, run_name="periodic_eval")
+        rng = np.random.default_rng(5)
+        inputs, targets = [], []
+        for _ in range(2):
+            views, diffuse, _ = synth_polar_scene(rng, 32, 32)
+            inputs.append(views[0]); targets.append(diffuse)
+        train(cfg, max_steps=2, verbose=False,
+              eval_inputs=np.stack(inputs), eval_targets=np.stack(targets),
+              eval_every_epochs=1)
+        rows = [json.loads(l) for l in
+                open(os.path.join(cfg.train.log_dir, "metrics.jsonl"))]
+        eval_rows = [r for r in rows if any(k.startswith("eval/") for k in r)]
+        assert eval_rows, "no eval rows logged"
+        assert "eval/ssim" in eval_rows[-1] and "eval/psnr" in eval_rows[-1]
+        assert np.isfinite(eval_rows[-1]["eval/ssim"])
