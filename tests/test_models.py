@@ -171,3 +171,23 @@ class TestSpecSeg:
         before = jax.tree_util.tree_leaves(variables["batch_stats"])
         after = jax.tree_util.tree_leaves(mutated["batch_stats"])
         assert any(float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(after, before))
+
+
+class TestResolutionGenerality:
+    def test_full_pipeline_at_256(self):
+        # the reference hardcodes 65536 pixels "for 256x256" in standardization
+        # but trains at 128; the rebuild must be resolution-polymorphic.
+        gen = SHMGenerator(filter_size=4)
+        x = jnp.zeros((1, 256, 256, 10))
+        mask = jnp.zeros((1, 256, 256, 1))
+        params = gen.init(jax.random.PRNGKey(0), x, mask)["params"]
+        y = gen.apply({"params": params}, x, mask)
+        assert y.shape == (1, 256, 256, 1)
+
+        disc = SHMDiscriminator(filter_size=4)
+        dparams = disc.init(jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3)),
+                            mask, train=False)["params"]
+        rf, logits = disc.apply({"params": dparams}, jnp.zeros((1, 256, 256, 3)),
+                                mask, train=False)
+        assert rf.shape == (1, 8, 8, 1)      # 256/32 patch map
+        assert logits.shape == (1, 5)
