@@ -139,3 +139,23 @@ class TestTrainStep:
         views = jax.random.uniform(jax.random.PRNGKey(1), (5, 1, 32, 32, 3))
         _, m = step(state, views, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
         assert np.isfinite(float(m["total_G"]))
+
+
+class TestPerSampleDropout:
+    def test_per_sample_mode_runs_and_differs(self):
+        # scalar_channel_dropout=False: Bernoulli drops drawn per batch element
+        # (the batch>1 generalization; True is the reference's batch-1 semantics)
+        cfg = small_config(scalar_channel_dropout=False, batch_size=4)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg), donate_argnums=())
+        views = jax.random.uniform(jax.random.PRNGKey(1), (5, 4, 32, 32, 3))
+        _, m = step(state, views, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
+        assert np.isfinite(float(m["total_G"]))
+        assert np.isfinite(float(m["total_D"]))
+
+        # same rng, scalar mode: different gating -> different SSIM loss
+        cfg2 = small_config(scalar_channel_dropout=True, batch_size=4)
+        step2 = jax.jit(make_train_step(cfg2), donate_argnums=())
+        state2 = create_train_state(cfg2, jax.random.PRNGKey(0))
+        _, m2 = step2(state2, views, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
+        assert float(m["SSIM_loss"]) != float(m2["SSIM_loss"])
