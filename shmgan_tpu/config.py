@@ -111,6 +111,30 @@ class TrainConfig:
     # (the reference semantics at batch=1).  When False, dropout is drawn per-sample,
     # which is the better-training generalization for batch>1.
     scalar_channel_dropout: bool = True
+    # ---- Quality-mode training options (all default to reference-parity behavior;
+    # documented in README's divergence table and tested in tests/test_step.py).
+    #
+    # live_g1: give the generator gradients through the G1 pass — the exact input
+    # pattern used at inference (surviving Y channels + zeros, ED target). The
+    # reference gates G out of that pass (G.trainable=False inside the tape,
+    # ShmGANwithSSpecSeg.py:497-538), so its generator is never trained on the
+    # configuration its own test path uses (test.py:227-235). The G1 adversarial
+    # gradient flows through a frozen-parameter D evaluation (no D leak).
+    live_g1: bool = False
+    # Extra reconstruction weight on the G1 output vs ED (L1 + SSIM-log) — teaches
+    # the single-image inference configuration directly. Only active with live_g1.
+    g1_recon_weight: float = 0.0
+    # Probability that a sample's channel-dropout pattern is replaced by the
+    # single-input inference pattern (exactly one polarized view kept, rest
+    # dropped) — importance-samples the pattern inference uses (test.py:227-235),
+    # which under plain Bernoulli(0.5) draws has probability 1/32 per slot.
+    single_input_prob: float = 0.0
+    # Compare generated/cyclic outputs against STANDARDIZED originals in the L1 and
+    # feed the discriminator standardized originals. The reference mixes domains:
+    # its L1 compares standardized-scale outputs against raw [0,1] originals
+    # (ShmGANwithSSpecSeg.py:745-750) and its D sees standardized fakes vs raw
+    # reals (:559-563 vs :638-642), making real/fake separable by scale alone.
+    consistent_domains: bool = False
     # Auto-restore the latest checkpoint on train start (reference restores whenever
     # delete_old_checkpoints is False, ShmGANwithSSpecSeg.py:949-951)
     auto_resume: bool = True

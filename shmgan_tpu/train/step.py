@@ -47,8 +47,9 @@ from jax import lax
 
 from shmgan_tpu.config import Config
 from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
-from shmgan_tpu.ops.standardize import per_image_standardization
-from shmgan_tpu.train.losses import GanLossInputs, shmgan_losses
+from shmgan_tpu.ops.ssim import ssim as ssim_fn
+from shmgan_tpu.ops.standardize import per_image_standardization, rescale_01_per_image
+from shmgan_tpu.train.losses import GanLossInputs, lsgan_to_target, shmgan_losses
 from shmgan_tpu.train.state import TrainState, build_models
 
 
@@ -86,6 +87,10 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
     scalar_drop = cfg.train.scalar_channel_dropout
     do_flip = cfg.data.flip
     train_g_after = cfg.train.train_G_after
+    live_g1 = cfg.train.live_g1
+    g1_recon_weight = cfg.train.g1_recon_weight if live_g1 else 0.0
+    single_input_prob = cfg.train.single_input_prob
+    consistent_domains = cfg.train.consistent_domains
 
     def step_fn(state: TrainState, views: jnp.ndarray, rng: jax.Array,
                 epoch: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -115,6 +120,16 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
         # replaced by zeros in G1 input and by gen_Y in the cyclic inputs.
         drop_shape = (1, v) if scalar_drop else (b, v)
         drop = (jax.random.uniform(k_drop, drop_shape) < randomness).astype(jnp.float32)
+        if single_input_prob > 0.0:
+            # replace some patterns with the single-input inference configuration:
+            # exactly one polarized view kept (uniform over the 4), everything else
+            # dropped (test.py:227-235 keeps only slot 0)
+            k_single, k_keep = jax.random.split(jax.random.fold_in(k_drop, 1))
+            kept = jax.random.randint(k_keep, (drop_shape[0],), 0, v - 1)
+            single_pat = 1.0 - jax.nn.one_hot(kept, v, dtype=jnp.float32)
+            use_single = jax.random.uniform(
+                k_single, (drop_shape[0], 1)) < single_input_prob
+            drop = jnp.where(use_single, single_pat, drop)
         drop_b = jnp.broadcast_to(drop[:, None, None, :], (b, h, w, v))
 
         rand_y = jnp.where(drop_b > 0.5, 0.0, y_planes)                  # (B,H,W,V)
@@ -125,17 +140,24 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
         # with G.trainable=False inside the tape)
         g_params_stop = jax.tree_util.tree_map(lax.stop_gradient, state.g_params)
 
+        # comparison/real-image domain: the reference feeds raw [0,1] originals to
+        # the L1 and to D while the generated side is standardized-scale (a domain
+        # mix, :745-750); consistent_domains uses the standardized originals on
+        # both sides instead.
+        views_cmp = yuv_to_rgb(ds_yuv) if consistent_domains else views
+
         def forward_losses(params):
             g_params, d_params = params["G"], params["D"]
             d_params_stop = jax.tree_util.tree_map(lax.stop_gradient, d_params)
 
-            gen_y = gen.apply({"params": g_params_stop}, gen_input, mask)
+            g1_params = g_params if live_g1 else g_params_stop
+            gen_y = gen.apply({"params": g1_params}, gen_input, mask)
             gen_yuv = jnp.concatenate([gen_y, avg_cbcr], axis=-1)
             gen_rgb = yuv_to_rgb(gen_yuv)
 
             # ---- live D pass on [generated, target] (reference D1+D2, training=True
             # -> GaussianNoise + Dropout active)
-            live_in = jnp.concatenate([gen_rgb, views[v - 1]], axis=0)     # (2B,...)
+            live_in = jnp.concatenate([gen_rgb, views_cmp[v - 1]], axis=0)  # (2B,...)
             live_mask = jnp.concatenate([mask, mask], axis=0)
             rf_live, lbl_live = disc.apply(
                 {"params": d_params}, live_in, live_mask, train=True,
@@ -143,8 +165,12 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             rf_gen, rf_target = rf_live[:b], rf_live[b:]
             lbl_gen = lbl_live[:b]
 
-            # ---- cyclic inputs: dropped channels replaced by gen_Y (:576-594)
-            cyc_base = jnp.where(drop_b > 0.5, jnp.broadcast_to(gen_y, (b, h, w, v)),
+            # ---- cyclic inputs: dropped channels replaced by gen_Y (:576-594).
+            # stop_gradient keeps the cyclic-pass gradient semantics identical to
+            # the reference even when live_g1 trains G through the G1 pass itself.
+            gen_y_sub = lax.stop_gradient(gen_y)
+            cyc_base = jnp.where(drop_b > 0.5,
+                                 jnp.broadcast_to(gen_y_sub, (b, h, w, v)),
                                  y_planes)
             cyc_inputs = []
             for i in range(v):
@@ -162,23 +188,30 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             cyc_rgb = yuv_to_rgb(cyc_yuv)
 
             # ---- ONE stopped-params D pass on [cyclics, originals] (D3+D4,
-            # training=False -> no noise/dropout, :627-642)
-            frozen_in = jnp.concatenate(
-                [cyc_rgb.reshape(v * b, h, w, 3), views.reshape(v * b, h, w, 3)], axis=0)
-            frozen_mask = jnp.tile(mask, (2 * v, 1, 1, 1))
+            # training=False -> no noise/dropout, :627-642). With live_g1 the
+            # generated image rides along too, giving G an adversarial gradient
+            # through frozen D params (no D leak).
+            frozen_parts = [cyc_rgb.reshape(v * b, h, w, 3),
+                            views_cmp.reshape(v * b, h, w, 3)]
+            n_frozen_masks = 2 * v
+            if live_g1:
+                frozen_parts.append(gen_rgb)
+                n_frozen_masks += 1
+            frozen_in = jnp.concatenate(frozen_parts, axis=0)
+            frozen_mask = jnp.tile(mask, (n_frozen_masks, 1, 1, 1))
             rf_frozen, lbl_frozen = disc.apply(
                 {"params": d_params_stop}, frozen_in, frozen_mask, train=False)
             rf_cyc = rf_frozen[: v * b].reshape(v, b, *rf_frozen.shape[1:])
-            rf_orig = rf_frozen[v * b:].reshape(v, b, *rf_frozen.shape[1:])
+            rf_orig = rf_frozen[v * b: 2 * v * b].reshape(v, b, *rf_frozen.shape[1:])
             lbl_cyc = lbl_frozen[: v * b].reshape(v, b, c_dim)
-            lbl_orig = lbl_frozen[v * b:].reshape(v, b, c_dim)
+            lbl_orig = lbl_frozen[v * b: 2 * v * b].reshape(v, b, c_dim)
 
             losses = shmgan_losses(
                 GanLossInputs(
                     rf_gen=rf_gen, lbl_gen=lbl_gen, rf_target=rf_target,
                     rf_cyc=rf_cyc, lbl_cyc=lbl_cyc, rf_orig=rf_orig,
                     lbl_orig=lbl_orig, gen_rgb=gen_rgb, cyc_rgb=cyc_rgb,
-                    cyc_yuv=cyc_yuv, orig_rgb=views, ds_yuv=ds_yuv, mask=mask,
+                    cyc_yuv=cyc_yuv, orig_rgb=views_cmp, ds_yuv=ds_yuv, mask=mask,
                     drop=drop, target_label=t),
                 image_size=image_size, style_weight=cfg.train.style_weight,
                 content_weight=cfg.train.content_weight)
@@ -199,8 +232,29 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             # stopped params), matching tape.gradient(total_G, G_vars). The D1_rf
             # term reads the LIVE D1 output, which would leak a spurious D gradient
             # out of total_G — the reference never requests D grads from total_G, so
-            # swap it for its stopped value (same loss value, no D leak).
+            # swap it for its stopped value (same loss value, no D leak). With
+            # live_g1 this swap also removes the G1 adversarial path (gen_rgb went
+            # through live D); the frozen-D evaluation of gen_rgb re-injects it as
+            # a value-neutral gradient-only term.
             loss_g = losses["total_G"] + (sg(losses["D1_rf"]) - losses["D1_rf"]) / 6.0
+            if live_g1:
+                rf_gen_frozen = rf_frozen[2 * v * b:]
+                adv_g1 = lsgan_to_target(rf_gen_frozen, t)
+                loss_g = loss_g + (adv_g1 - sg(adv_g1)) / 6.0
+                losses["G1_adv_frozen"] = sg(adv_g1)
+            if g1_recon_weight > 0.0:
+                # direct single-image objective: G1 output vs ED in the
+                # standardized domain (L1 in RGB + SSIM-log on YUV, the same forms
+                # the cyclic losses use)
+                ed_cmp = yuv_to_rgb(ds_yuv[v - 1]) if not consistent_domains \
+                    else views_cmp[v - 1]
+                g1_l1 = jnp.mean(jnp.abs(gen_rgb - ed_cmp))
+                s = ssim_fn(rescale_01_per_image(gen_yuv),
+                            rescale_01_per_image(ds_yuv[v - 1]), max_val=5.0)
+                g1_ssim = jnp.mean(-jnp.log((1.0 + s) / 2.0))
+                loss_g = loss_g + g1_recon_weight * (g1_l1 + g1_ssim)
+                losses["G1_L1"] = g1_l1
+                losses["G1_SSIM_loss"] = g1_ssim
 
             return loss_d + loss_g, losses
 
@@ -231,6 +285,7 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
         metrics["target_label"] = t
         if debug_grads:
             metrics["_grads"] = grads
+            metrics["_drop"] = drop
         return new_state, metrics
 
     return step_fn

@@ -159,3 +159,75 @@ class TestPerSampleDropout:
         state2 = create_train_state(cfg2, jax.random.PRNGKey(0))
         _, m2 = step2(state2, views, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32))
         assert float(m["SSIM_loss"]) != float(m2["SSIM_loss"])
+
+
+class TestQualityModes:
+    """Config-gated quality-training divergences (config.py TrainConfig docs):
+    all default OFF, preserving reference parity (the grad-equivalence suite runs
+    on the defaults); each mode must change exactly what it claims to change."""
+
+    def _run(self, views, rng, **overrides):
+        cfg = small_config(batch_size=2, **overrides)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, debug_grads=True), donate_argnums=())
+        new_state, m = step(state, views, rng, jnp.zeros((), jnp.int32))
+        return new_state, m
+
+    @pytest.fixture(scope="class")
+    def views(self):
+        from shmgan_tpu.data.synthetic import synth_polar_batch
+        return jnp.asarray(synth_polar_batch(2, 32, seed=5))
+
+    def test_live_g1_value_neutral_but_trains_g(self, views):
+        rng = jax.random.PRNGKey(11)
+        s_off, m_off = self._run(views, rng)
+        s_on, m_on = self._run(views, rng, live_g1=True)
+        # reported reference-loss values identical (the extra adversarial term is
+        # gradient-only), but the G update differs because G1 now carries grads
+        np.testing.assert_allclose(float(m_on["total_G"]), float(m_off["total_G"]),
+                                   rtol=1e-6)
+        diffs = [float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(s_on.g_params),
+            jax.tree_util.tree_leaves(s_off.g_params))]
+        assert max(diffs) > 0.0
+        # and the D gradients are untouched (no D leak through the frozen pass)
+        for a, b in zip(jax.tree_util.tree_leaves(m_on["_grads"]["D"]),
+                        jax.tree_util.tree_leaves(m_off["_grads"]["D"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_g1_recon_weight_adds_terms(self, views):
+        rng = jax.random.PRNGKey(12)
+        _, m = self._run(views, rng, live_g1=True, g1_recon_weight=10.0)
+        assert np.isfinite(float(m["G1_L1"]))
+        assert np.isfinite(float(m["G1_SSIM_loss"]))
+        # recon weight requires live_g1 (documented: "only active with live_g1")
+        _, m_off = self._run(views, rng, g1_recon_weight=10.0)
+        assert "G1_L1" not in m_off
+
+    def test_single_input_prob_one_forces_pattern(self, views):
+        rng = jax.random.PRNGKey(13)
+        _, m = self._run(views, rng, single_input_prob=1.0,
+                         scalar_channel_dropout=False)
+        drop = np.asarray(m["_drop"])  # (B, V)
+        # exactly one channel kept per sample, and it is a polarized view (not ED)
+        assert drop.shape == (2, 5)
+        np.testing.assert_array_equal(drop.sum(axis=1), 4.0)
+        kept = np.argmin(drop, axis=1)
+        assert (kept < 4).all()
+
+    def test_single_input_prob_zero_leaves_stream(self, views):
+        rng = jax.random.PRNGKey(14)
+        _, m0 = self._run(views, rng)
+        _, m1 = self._run(views, rng, single_input_prob=0.0)
+        np.testing.assert_array_equal(np.asarray(m0["_drop"]),
+                                      np.asarray(m1["_drop"]))
+
+    def test_consistent_domains_runs_and_changes_l1(self, views):
+        rng = jax.random.PRNGKey(15)
+        _, m_ref = self._run(views, rng)
+        _, m_cd = self._run(views, rng, consistent_domains=True)
+        assert np.isfinite(float(m_cd["total_G"]))
+        assert np.isfinite(float(m_cd["total_D"]))
+        # L1 now compares standardized-vs-standardized instead of the reference's
+        # standardized-vs-raw domain mix — a different (finite) value
+        assert float(m_cd["L1"]) != float(m_ref["L1"])
