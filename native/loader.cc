@@ -58,6 +58,8 @@ Image DecodePNM(const std::string& bytes) {
     bool any = false;
     while (pos < bytes.size() && isdigit(static_cast<unsigned char>(bytes[pos]))) {
       v = v * 10 + (bytes[pos] - '0');
+      // bound dimensions/maxval: prevents int overflow on malformed headers
+      if (v > (1 << 24)) return false;
       ++pos;
       any = true;
     }
@@ -66,10 +68,12 @@ Image DecodePNM(const std::string& bytes) {
   };
   int w, h, maxval;
   if (!next_int(&w) || !next_int(&h) || !next_int(&maxval)) return img;
-  if (maxval <= 0 || maxval > 255) return img;
+  if (maxval <= 0 || maxval > 255 || w <= 0 || h <= 0) return img;
   ++pos;  // single whitespace after maxval
   size_t need = static_cast<size_t>(w) * h * channels;
-  if (bytes.size() - pos < need) return img;
+  // pos may sit past the end on a truncated header; guard BEFORE subtracting
+  // (size_t underflow would pass the < need check and read out of bounds)
+  if (pos > bytes.size() || bytes.size() - pos < need) return img;
   img.w = w;
   img.h = h;
   img.c = channels;

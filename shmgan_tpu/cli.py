@@ -67,22 +67,26 @@ def run_test(cfg: Config):
     for i, rgb in enumerate(test_ds):
         t0 = time.perf_counter()
         out = infer(state.g_params, state.specseg_vars, rgb)
-        gen_rgb = np.asarray(out["gen_rgb"])
+        gen = np.asarray(out["gen_rgb_calibrated"])
+        mask = np.asarray(out["mask"])
         wall = time.perf_counter() - t0
 
-        # save result images (min-max rescaled to displayable range like the
-        # reference's rescale_01 plotting, test.py:413-415)
-        for j in range(gen_rgb.shape[0]):
-            img = gen_rgb[j]
-            lo, hi = img.min(), img.max()
-            vis = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
-            Image.fromarray((vis * 255).astype(np.uint8)).save(
-                os.path.join(cfg.train.result_dir,
-                             f"result_{i * cfg.train.batch_size + j:05d}.png"))
+        # save the CALIBRATED specular-free image (exact inverse of the input
+        # standardization — lives in the input's [0,1] RGB domain) plus the
+        # predicted mask. The reference min-max-stretches for display
+        # (test.py:413-415); that stretch is a debug view, not the product.
+        for j in range(gen.shape[0]):
+            idx = i * cfg.train.batch_size + j
+            Image.fromarray((np.clip(gen[j], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(cfg.train.result_dir, f"result_{idx:05d}.png"))
+            Image.fromarray(
+                (np.clip(mask[j, ..., 0], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(cfg.train.result_dir, f"result_{idx:05d}_mask.png"))
 
         if diffuse_iter is not None:
             target = next(diffuse_iter)
-            acc.add(evaluate_pair(out["gen_rgb"], target), wall_time=wall)
+            acc.add(evaluate_pair(out["gen_rgb_calibrated"], target),
+                    wall_time=wall)
 
     if cfg.eval.calc_metrics and acc.rows:
         print("\n --- CALCULATED METRICS --- ")

@@ -34,13 +34,24 @@ _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".gif")
 
 
 def list_images(directory: str) -> List[str]:
-    """Sorted image paths directly under `directory` (and one level of subdirs,
-    matching keras image_dataset_from_directory's class-folder tolerance)."""
+    """Sorted image paths directly under `directory` and exactly one level of
+    subdirs (keras image_dataset_from_directory's class-folder tolerance).
+    Deeper nesting is ignored — unbounded recursion could silently merge stray
+    images into a view and misalign the 5-view zip (ADVICE.md round 1)."""
     out = []
-    for root, _dirs, files in os.walk(directory):
-        for f in files:
-            if f.lower().endswith(_IMG_EXTS):
-                out.append(os.path.join(root, f))
+    try:
+        entries = sorted(os.listdir(directory))
+    except FileNotFoundError:
+        return []
+    for e in entries:
+        p = os.path.join(directory, e)
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.lower().endswith(_IMG_EXTS) and \
+                        os.path.isfile(os.path.join(p, f)):
+                    out.append(os.path.join(p, f))
+        elif e.lower().endswith(_IMG_EXTS):
+            out.append(p)
     return sorted(out)
 
 

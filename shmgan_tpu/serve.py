@@ -68,48 +68,86 @@ class BatchInferenceEngine:
     # -- folder jobs ----------------------------------------------------------
 
     def _save_outputs(self, out: Dict[str, np.ndarray], names, out_dir: str,
-                      save_mask: bool):
+                      save_mask: bool, debug_stretch: bool = False):
+        """Save the CALIBRATED specular-free image — the exact inverse of the
+        input standardization, living in the input's [0,1] RGB domain (the
+        product output; the reference's de-normalization at test.py:246-250 never
+        closes this loop). debug_stretch additionally writes the min-max
+        contrast-stretched raw generator output for inspection."""
         from PIL import Image
 
         os.makedirs(out_dir, exist_ok=True)
-        gen = out["gen_rgb"]
+        gen = out["gen_rgb_calibrated"]
         for j, name in enumerate(names):
-            img = gen[j]
-            lo, hi = img.min(), img.max()
-            vis = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
             base = os.path.splitext(os.path.basename(name))[0]
-            Image.fromarray((vis * 255).astype(np.uint8)).save(
+            Image.fromarray(
+                (np.clip(gen[j], 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(out_dir, f"{base}_specfree.png"))
             if save_mask:
                 m = (np.clip(out["mask"][j, ..., 0], 0, 1) * 255).astype(np.uint8)
                 Image.fromarray(m).save(os.path.join(out_dir, f"{base}_mask.png"))
+            if debug_stretch:
+                img = out["gen_rgb"][j]
+                lo, hi = img.min(), img.max()
+                vis = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+                Image.fromarray((vis * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"{base}_stretch.png"))
 
     def process_folder(self, in_dir: str, out_dir: str,
                        save_mask: bool = True) -> int:
         files = list_images(in_dir)
-        return self._process_files(files, out_dir, save_mask)
+        return len(self._process_files(files, out_dir, save_mask))
 
-    def _process_files(self, files, out_dir: str, save_mask: bool) -> int:
+    def _process_files(self, files, out_dir: str, save_mask: bool) -> list:
+        """Decode + infer + save; returns the files that decoded successfully.
+        A file mid-write or corrupt is skipped (not an error) so the caller can
+        retry it on a later poll (ADVICE.md round 1)."""
         if not files:
-            return 0
-        decoded = list(self._io.map(
-            lambda p: decode_resize(p, self.image_size), files))
-        out = self.process_images(np.stack(decoded))
-        self._save_outputs(out, files, out_dir, save_mask)
-        return len(files)
+            return []
+        def _try_decode(p):
+            try:
+                return decode_resize(p, self.image_size)
+            except Exception:
+                return None
+        decoded = list(self._io.map(_try_decode, files))
+        ok = [(f, d) for f, d in zip(files, decoded) if d is not None]
+        if not ok:
+            return []
+        ok_files = [f for f, _ in ok]
+        out = self.process_images(np.stack([d for _, d in ok]))
+        self._save_outputs(out, ok_files, out_dir, save_mask)
+        return ok_files
 
     def watch_folder(self, in_dir: str, out_dir: str, poll_s: float = 1.0,
                      save_mask: bool = True, max_iterations: Optional[int] = None):
         """Daemon mode: poll in_dir, process new images as they arrive.
+
+        A file is only picked up once its (size, mtime) is stable across two
+        polls — a producer still writing it would otherwise be decoded mid-write
+        (ADVICE.md round 1). Failed decodes are retried on later polls.
         max_iterations bounds the loop for tests; None runs forever."""
         seen: Set[str] = set()
+        pending: Dict[str, tuple] = {}
         it = 0
         while max_iterations is None or it < max_iterations:
-            fresh = [f for f in list_images(in_dir) if f not in seen]
-            if fresh:
-                n = self._process_files(fresh, out_dir, save_mask)
-                seen.update(fresh)
-                print(f"[serve] processed {n} image(s)")
+            stable = []
+            for f in list_images(in_dir):
+                if f in seen:
+                    continue
+                try:
+                    st = os.stat(f)
+                except OSError:
+                    continue
+                sig = (st.st_size, st.st_mtime_ns)
+                if pending.get(f) == sig:
+                    stable.append(f)
+                pending[f] = sig
+            if stable:
+                done = self._process_files(stable, out_dir, save_mask)
+                seen.update(done)
+                for f in done:
+                    pending.pop(f, None)
+                print(f"[serve] processed {len(done)} image(s)")
             else:
                 time.sleep(poll_s)
             it += 1

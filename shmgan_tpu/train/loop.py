@@ -111,6 +111,9 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
             state = restored
             steps_done = int(state.step)
             start_epoch = steps_done // max(dataset.batches_per_epoch, 1)
+            # continue the augmentation/label-smoothing/noise RNG stream instead
+            # of replaying the run's first epochs (ADVICE.md round 1)
+            rng = jax.random.fold_in(rng, steps_done)
             log(f"[ckpt] restored step {steps_done} (epoch {start_epoch})")
 
     state = shard_train_state(state, mesh, spatial=cfg.mesh.spatial_sharding)

@@ -146,3 +146,22 @@ class TestPsdNaming:
         ds = PolarimetricDataset(cfg, image_size=16, batch_size=1)
         batch = next(ds.iter_epoch())
         assert batch.shape == (5, 1, 16, 16, 3)
+
+
+class TestListImagesDepth:
+    def test_one_level_only(self, tmp_path):
+        # list_images tolerates exactly one subdir level (keras class-folder
+        # convention); deeper strays must NOT merge into the view (ADVICE.md r1:
+        # unbounded os.walk could silently misalign the 5-view zip)
+        from PIL import Image
+
+        from shmgan_tpu.data.loader import list_images
+
+        root = tmp_path / "view"
+        (root / "sub" / "deep").mkdir(parents=True)
+        img = Image.new("RGB", (4, 4))
+        img.save(root / "a.png")
+        img.save(root / "sub" / "b.png")
+        img.save(root / "sub" / "deep" / "stray.png")
+        found = [os.path.basename(p) for p in list_images(str(root))]
+        assert found == ["a.png", "b.png"]

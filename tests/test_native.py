@@ -121,3 +121,20 @@ class TestNativeDecode:
         assert ok[0] == 1
         np.testing.assert_allclose(batch[0], pix.astype(np.float32) / 255.0,
                                    atol=1e-6)
+
+    def test_truncated_pnm_header_rejected(self, tmp_path):
+        # header ending exactly at the maxval digits: pos lands past the end;
+        # the decoder must fail cleanly, not read out of bounds (ADVICE.md r1)
+        p = str(tmp_path / "trunc.ppm")
+        with open(p, "wb") as f:
+            f.write(b"P6\n4 4\n255")  # no payload, no trailing whitespace
+        _, ok = nl.decode_batch([p], image_size=4)
+        assert ok[0] == 0
+
+    def test_absurd_pnm_dims_rejected(self, tmp_path):
+        # dimension bound guards int overflow on malformed headers (ADVICE.md r1)
+        p = str(tmp_path / "huge.ppm")
+        with open(p, "wb") as f:
+            f.write(b"P6\n99999999999 2\n255\n" + b"\0" * 32)
+        _, ok = nl.decode_batch([p], image_size=4)
+        assert ok[0] == 0

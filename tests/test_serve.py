@@ -59,3 +59,73 @@ class TestEngine:
         engine.watch_folder(os.path.join(root, "I0"), out_dir, poll_s=0.01,
                             max_iterations=3)
         assert sum(f.endswith("_specfree.png") for f in os.listdir(out_dir)) == 2
+
+
+class TestProductOutput:
+    """The saved *_specfree.png must be the CALIBRATED output — the exact inverse
+    of the input standardization, in the input's [0,1] RGB domain (VERDICT r1 #8:
+    the best output the framework computes must be the one users get)."""
+
+    def test_saved_file_roundtrips_calibrated(self, engine, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        rgb = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        os.makedirs(in_dir)
+        for i in range(2):
+            Image.fromarray((rgb[i] * 255).astype(np.uint8)).save(
+                os.path.join(in_dir, f"img_{i}.png"))
+        engine.process_folder(in_dir, out_dir)
+
+        # recompute what the engine saw (decode of the 8-bit PNG)
+        from shmgan_tpu.data.loader import decode_resize
+        decoded = np.stack([decode_resize(os.path.join(in_dir, f"img_{i}.png"), 32)
+                            for i in range(2)])
+        expect = engine.process_images(decoded)["gen_rgb_calibrated"]
+        for i in range(2):
+            saved = np.asarray(Image.open(
+                os.path.join(out_dir, f"img_{i}_specfree.png")),
+                dtype=np.float32) / 255.0
+            np.testing.assert_allclose(saved, np.clip(expect[i], 0, 1),
+                                       atol=1.5 / 255.0)
+
+    def test_corrupt_file_skipped_not_poisoned(self, engine, tmp_path):
+        # a half-written/corrupt image must be skipped without being marked seen
+        # (ADVICE.md round 1: failed decodes were permanently skipped)
+        from PIL import Image
+
+        in_dir, out_dir = str(tmp_path / "win"), str(tmp_path / "wout")
+        os.makedirs(in_dir)
+        rgb = (np.random.default_rng(8).uniform(0, 1, (32, 32, 3)) * 255
+               ).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(in_dir, "good.png"))
+        with open(os.path.join(in_dir, "bad.png"), "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n____truncated____")
+        engine.watch_folder(in_dir, out_dir, poll_s=0.01, max_iterations=4)
+        files = os.listdir(out_dir)
+        assert "good_specfree.png" in files
+        assert not any(f.startswith("bad") for f in files)
+
+    def test_watch_requires_stable_stat(self, engine, tmp_path, monkeypatch):
+        # a file whose size keeps changing between polls is never picked up
+        import shmgan_tpu.serve as serve_mod
+        from PIL import Image
+
+        in_dir, out_dir = str(tmp_path / "sin"), str(tmp_path / "sout")
+        os.makedirs(in_dir)
+        growing = os.path.join(in_dir, "growing.png")
+        rgb = (np.random.default_rng(9).uniform(0, 1, (32, 32, 3)) * 255
+               ).astype(np.uint8)
+        Image.fromarray(rgb).save(growing)
+
+        real_sleep = serve_mod.time.sleep
+
+        def grow(_):
+            with open(growing, "ab") as f:
+                f.write(b"x" * 16)
+            real_sleep(0)
+
+        monkeypatch.setattr(serve_mod.time, "sleep", grow)
+        engine.watch_folder(in_dir, out_dir, poll_s=0.01, max_iterations=4)
+        assert not os.path.exists(os.path.join(out_dir, "growing_specfree.png"))
