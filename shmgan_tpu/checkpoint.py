@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -203,3 +204,49 @@ def load_specseg_h5(path: str) -> Any:
         set_path(params, flax_path + "/bias", w["bias"].astype(np.float32))
 
     return {"params": params, "batch_stats": batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# Native SpecSeg weight artifacts (msgpack)
+# ---------------------------------------------------------------------------
+# The reference hands SpecSeg weights around as a keras h5 blob
+# (ShmGANwithSSpecSeg.py:930-931). This framework can TRAIN SpecSeg itself
+# (train/specseg_train.py), so it also needs a native round-trip format for the
+# frozen variable tree: flax msgpack, loadable via cfg.eval.specseg_weights.
+
+def save_specseg_msgpack(specseg_vars: Any, path: str) -> None:
+    """Serialize a SpecSeg variable tree {'params':..., 'batch_stats':...}."""
+    import flax.serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(specseg_vars)))
+
+
+def load_specseg_msgpack(path: str, base_filters: int = 16,
+                         image_size: int = 128) -> Any:
+    """Load a SpecSeg variable tree saved by save_specseg_msgpack. The template
+    tree comes from a fresh init (shapes only; eval_shape keeps it cheap)."""
+    import flax.serialization
+    import jax.numpy as jnp
+
+    from shmgan_tpu.models import SpecSeg
+
+    net = SpecSeg(base_filters=base_filters)
+    template = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, image_size, image_size, 1), jnp.float32),
+                         train=False))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template)
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def load_specseg_weights(path: str, base_filters: int = 16,
+                         image_size: int = 128) -> Any:
+    """Dispatch on extension: .h5 (reference keras format) or .msgpack (native)."""
+    if path.endswith(".msgpack"):
+        return load_specseg_msgpack(path, base_filters=base_filters,
+                                    image_size=image_size)
+    return load_specseg_h5(path)

@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_h5
+from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_weights
 from shmgan_tpu.config import Config
 
 
@@ -38,7 +38,10 @@ def run_test(cfg: Config):
 
     specseg_vars = None
     if os.path.exists(cfg.eval.specseg_weights):
-        specseg_vars = load_specseg_h5(cfg.eval.specseg_weights)
+        specseg_vars = load_specseg_weights(
+            cfg.eval.specseg_weights,
+            base_filters=cfg.model.specseg_base_filters,
+            image_size=cfg.model.image_size)
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                specseg_vars=specseg_vars)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_h5
+from shmgan_tpu.checkpoint import CheckpointManager
 from shmgan_tpu.config import Config
 from shmgan_tpu.data.loader import PolarimetricDataset
 from shmgan_tpu.data.pipeline import DevicePrefetcher
@@ -83,7 +83,11 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
 
     specseg_vars = None
     if os.path.exists(cfg.eval.specseg_weights):
-        specseg_vars = load_specseg_h5(cfg.eval.specseg_weights)
+        from shmgan_tpu.checkpoint import load_specseg_weights
+        specseg_vars = load_specseg_weights(
+            cfg.eval.specseg_weights,
+            base_filters=cfg.model.specseg_base_filters,
+            image_size=cfg.model.image_size)
         log(f"[specseg] loaded frozen weights from {cfg.eval.specseg_weights}")
     else:
         log(f"[specseg] {cfg.eval.specseg_weights} not found — random frozen init "

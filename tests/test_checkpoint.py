@@ -136,3 +136,52 @@ class TestSpecSegConverter:
         for a, b in zip(jax.tree_util.tree_leaves(loaded),
                         jax.tree_util.tree_leaves(state.specseg_vars)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSpecSegMsgpack:
+    """Native msgpack round-trip for SpecSeg weights (checkpoint.py:208-252) —
+    the hand-off format when SpecSeg is trained in-framework instead of arriving
+    as the reference's keras h5 blob (ShmGANwithSSpecSeg.py:930-931)."""
+
+    def test_msgpack_roundtrip_preserves_function(self, tmp_path):
+        from shmgan_tpu.checkpoint import (load_specseg_msgpack,
+                                           load_specseg_weights,
+                                           save_specseg_msgpack)
+
+        net = SpecSeg(base_filters=16)
+        x = jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32, 1)
+        variables = net.init(jax.random.PRNGKey(0), x, train=False)
+        ref_out = net.apply(variables, x, train=False)
+
+        path = str(tmp_path / "ss.msgpack")
+        save_specseg_msgpack(variables, path)
+        loaded = load_specseg_msgpack(path, base_filters=16, image_size=32)
+        out = net.apply(loaded, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-6, atol=1e-7)
+
+        # extension dispatch picks the msgpack path
+        via_dispatch = load_specseg_weights(path, base_filters=16, image_size=32)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(via_dispatch)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trained_specseg_flows_into_gan_state(self, tmp_path):
+        from shmgan_tpu.checkpoint import (load_specseg_weights,
+                                           save_specseg_msgpack)
+        from shmgan_tpu.train.specseg_train import (create_specseg_state,
+                                                    specseg_vars_from_state)
+
+        cfg = small_config()
+        ss_state = create_specseg_state(cfg, jax.random.PRNGKey(3))
+        ss_vars = specseg_vars_from_state(ss_state)
+        path = str(tmp_path / "trained.msgpack")
+        save_specseg_msgpack(ss_vars, path)
+
+        loaded = load_specseg_weights(
+            path, base_filters=cfg.model.specseg_base_filters,
+            image_size=cfg.model.image_size)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), specseg_vars=loaded)
+        for a, b in zip(jax.tree_util.tree_leaves(ss_vars),
+                        jax.tree_util.tree_leaves(state.specseg_vars)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
