@@ -191,12 +191,29 @@ class PolarimetricDataset:
     def batches_per_epoch(self) -> int:
         return self.length // self.batch_size
 
-    def iter_epoch(self, shuffle_seed: Optional[int] = None) -> Iterator[np.ndarray]:
+    def iter_epoch(self, shuffle_seed: Optional[int] = None,
+                   process_index: int = 0,
+                   process_count: int = 1) -> Iterator[np.ndarray]:
+        """Yield (V, B_local, H, W, 3) batches.
+
+        Single-process (default): B_local == batch_size (the global batch).
+        Multi-host: pass jax.process_index()/jax.process_count(); every process
+        walks the SAME global order (derived from shuffle_seed, so no
+        cross-host coordination is needed) and decodes only its contiguous
+        block of each global batch — process p gets rows
+        [p*B/P, (p+1)*B/P), matching put_global_batch's assembly contract.
+        """
+        if self.batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by "
+                f"{process_count} processes")
+        local = self.batch_size // process_count
         order = np.arange(self.length)
         if shuffle_seed is not None:
             np.random.default_rng(shuffle_seed).shuffle(order)
         for b in range(self.batches_per_epoch):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            idx = idx[process_index * local:(process_index + 1) * local]
             yield self._load_indices(idx)
 
 

@@ -4,6 +4,13 @@ The reference's device boundary is iterator.get_next() per eager step
 (ShmGANwithSSpecSeg.py:990). Here batches are pushed to device (with their mesh
 sharding) on a background thread while the previous step computes, so the TPU never
 waits on the host for the small SHMGAN batch sizes.
+
+Multi-host: on a multi-process topology each process loads only its slice of the
+global batch (PolarimetricDataset.iter_epoch(process_index=, process_count=))
+and `put_global_batch` assembles the logically-global array from the
+process-local shards via jax.make_array_from_process_local_data — no host ever
+materializes or transfers the full global batch (SURVEY.md §2.2
+'elastic/multi-node').
 """
 
 from __future__ import annotations
@@ -18,8 +25,25 @@ import numpy as np
 from shmgan_tpu.parallel.mesh import batch_sharding
 
 
+def put_global_batch(batch: np.ndarray, mesh, spatial: bool = False):
+    """Place one batch onto the mesh with its (V, B, H, W, 3) batch sharding.
+
+    Single-process: `batch` is the global batch, placed with device_put.
+    Multi-process: `batch` is this process's LOCAL slice (global B split evenly
+    across processes, contiguous blocks in process order); the returned array is
+    the logically-global jax.Array spanning all hosts.
+    """
+    sh = batch_sharding(mesh, ndim=batch.ndim, spatial=spatial)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sh)
+    return jax.make_array_from_process_local_data(sh, batch)
+
+
 class DevicePrefetcher:
-    """Wraps a numpy-batch iterator; yields device-resident (sharded) arrays."""
+    """Wraps a numpy-batch iterator; yields device-resident (sharded) arrays.
+
+    On multi-host topologies the wrapped iterator must yield process-LOCAL
+    batches (see put_global_batch / PolarimetricDataset.iter_epoch)."""
 
     _SENTINEL = object()
 
@@ -31,8 +55,7 @@ class DevicePrefetcher:
 
         def put(batch):
             if self._mesh is not None:
-                sh = batch_sharding(self._mesh, ndim=batch.ndim, spatial=spatial)
-                return jax.device_put(batch, sh)
+                return put_global_batch(batch, self._mesh, spatial=spatial)
             return jax.device_put(batch)
 
         def worker():

@@ -156,6 +156,46 @@ def synth_polar_batch(batch: int, image_size: int, seed: int = 0,
     return np.concatenate([v4, ed], axis=0)
 
 
+def write_triplet_fixture_tree(root: str, n_images: int, image_size: int,
+                               seed: int = 0, layout: str = "folder",
+                               with_mask: bool = True) -> None:
+    """Write an on-disk (image, diffuse[, mask/specular]) triplet dataset for
+    the SHIQ-style adapter (data/triplets.py).
+
+    layout "folder": root/image/*.png, root/diffuse/*.png [, root/mask/*.png].
+    layout "shiq":   root/<stem>_A.png, <stem>_T.png [, <stem>_S.png].
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+
+    def save(arr, path):
+        Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+
+    if layout == "folder":
+        dirs = ["image", "diffuse"] + (["mask"] if with_mask else [])
+        for d in dirs:
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+    else:
+        os.makedirs(root, exist_ok=True)
+
+    for i in range(n_images):
+        views, diffuse, mask = synth_polar_scene(rng, image_size, image_size)
+        img = camera_image(diffuse, views)
+        if layout == "folder":
+            save(img, os.path.join(root, "image", f"img_{i:05d}.png"))
+            save(diffuse, os.path.join(root, "diffuse", f"img_{i:05d}.png"))
+            if with_mask:
+                save(np.repeat(mask, 3, axis=-1),
+                     os.path.join(root, "mask", f"img_{i:05d}.png"))
+        else:
+            save(img, os.path.join(root, f"img{i:05d}_A.png"))
+            save(diffuse, os.path.join(root, f"img{i:05d}_T.png"))
+            if with_mask:
+                save(np.clip(img - diffuse, 0, 1),
+                     os.path.join(root, f"img{i:05d}_S.png"))
+
+
 def write_fixture_tree(root: str, n_images: int, image_size: int, seed: int = 0,
                        view_dirs: Sequence[str] = ("I0", "I45", "I90", "I135", "ED"),
                        write_ed: bool = True,

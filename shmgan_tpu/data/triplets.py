@@ -1,0 +1,184 @@
+"""SHIQ-style (image, mask, diffuse) triplet datasets.
+
+The reference trains SpecSeg on specular-segmentation data (SpecSeg.py:27-98
+builds the loaders/losses; the shipped specsegv3_chkpt.h5 embodies the result)
+and its folder-zipped loader contract lives in datasetLoader.py. Real specular
+datasets (SHIQ, PSD-singles) arrive as triplets — an RGB image with highlights,
+its specular-free (diffuse) version, and a highlight mask or specular-residue
+layer. This adapter ingests those triplets so both the mask net and the GAN can
+consume real data the moment it lands (VERDICT r1 next-step #8).
+
+Two on-disk layouts are supported:
+
+  folder layout:  root/image/*.png, root/diffuse/*.png, root/mask/*.png
+                  (mask optional — derived from image-diffuse residue if absent),
+                  aligned by sorted filename like the 5-view loader.
+  suffix layout (SHIQ): one folder of  <stem>_A.png (input), <stem>_T.png
+                  (specular-free GT), <stem>_S.png (specular residue; optional),
+                  grouped by stem.
+
+Consumers:
+  specseg_pairs(batch)  -> (standardized Y, mask) for train/specseg_train.py
+  triplet_to_views(batch) -> (5, B, H, W, 3) pseudo-view stack for the GAN step:
+                  the four polarized slots carry the input image and ED carries
+                  the diffuse GT — with cfg.train.single_input_prob /
+                  live_g1+g1_recon this trains exactly the single-image
+                  inference configuration (test.py:227-235) on real data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from shmgan_tpu.data.loader import decode_resize_batch, list_images
+
+# threshold on the max-channel specular residue for mask synthesis; matches the
+# synthetic curriculum's mask definition (synthetic.py: spec > 0.25)
+_RESIDUE_THRESH = 0.25
+
+
+def _group_by_suffix(files: List[str]) -> Tuple[List[str], List[str], List[Optional[str]]]:
+    """SHIQ naming: <stem>_A (input), <stem>_T (diffuse), <stem>_S (specular)."""
+    by_stem: Dict[str, Dict[str, str]] = {}
+    for f in files:
+        base = os.path.splitext(os.path.basename(f))[0]
+        if len(base) < 2 or base[-2] != "_":
+            continue
+        stem, kind = base[:-2], base[-1].upper()
+        if kind in ("A", "T", "S"):
+            by_stem.setdefault(stem, {})[kind] = f
+    imgs, difs, specs = [], [], []
+    for stem in sorted(by_stem):
+        entry = by_stem[stem]
+        if "A" in entry and "T" in entry:
+            imgs.append(entry["A"])
+            difs.append(entry["T"])
+            specs.append(entry.get("S"))
+    return imgs, difs, specs
+
+
+class TripletDataset:
+    """Aligned (image, diffuse[, mask]) triplets -> fixed-shape numpy batches.
+
+    Yields dicts {"image": (B,S,S,3), "diffuse": (B,S,S,3), "mask": (B,S,S,1)}
+    in [0,1]. When no mask source exists, the mask is synthesized from the
+    specular residue max(image - diffuse) > 0.25 — the same definition the
+    synthetic curriculum uses, so models move between the two seamlessly.
+    """
+
+    def __init__(self, root: str, image_size: int, batch_size: int = 8,
+                 num_workers: int = 4, cache_in_memory: bool = True):
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+
+        img_dir = os.path.join(root, "image")
+        dif_dir = os.path.join(root, "diffuse")
+        if os.path.isdir(img_dir) and os.path.isdir(dif_dir):
+            self._img_files = list_images(img_dir)
+            self._dif_files = list_images(dif_dir)
+            mask_dir = os.path.join(root, "mask")
+            self._mask_files = list_images(mask_dir) if os.path.isdir(mask_dir) \
+                else None
+            n = min(len(self._img_files), len(self._dif_files),
+                    len(self._mask_files) if self._mask_files else 10 ** 9)
+            self._img_files = self._img_files[:n]
+            self._dif_files = self._dif_files[:n]
+            if self._mask_files:
+                self._mask_files = self._mask_files[:n]
+        else:
+            imgs, difs, specs = _group_by_suffix(list_images(root))
+            self._img_files, self._dif_files = imgs, difs
+            self._mask_files = specs if any(s for s in specs) else None
+        if not self._img_files:
+            raise FileNotFoundError(f"no triplets under {root}")
+        self.length = len(self._img_files)
+
+        self._cache: Optional[Dict[str, np.ndarray]] = None
+        if cache_in_memory:
+            self._cache = self._load(np.arange(self.length))
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _load(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            return {k: v[idx] for k, v in self._cache.items()}
+        s = self.image_size
+        img, _ = decode_resize_batch([self._img_files[i] for i in idx], s,
+                                     num_workers=self.num_workers)
+        dif, _ = decode_resize_batch([self._dif_files[i] for i in idx], s,
+                                     num_workers=self.num_workers)
+        if self._mask_files is not None:
+            raw = []
+            for i in idx:
+                f = self._mask_files[i]
+                if f is None:
+                    raw.append(None)
+                else:
+                    arr, _ = decode_resize_batch([f], s,
+                                                 num_workers=self.num_workers)
+                    raw.append(arr[0])
+            mask = np.stack([
+                (r.max(axis=-1, keepdims=True) > _RESIDUE_THRESH).astype(np.float32)
+                if r is not None else self._residue_mask(img[j], dif[j])
+                for j, r in enumerate(raw)])
+        else:
+            mask = np.stack([self._residue_mask(img[j], dif[j])
+                             for j in range(len(idx))])
+        return {"image": img, "diffuse": dif, "mask": mask}
+
+    @staticmethod
+    def _residue_mask(image: np.ndarray, diffuse: np.ndarray) -> np.ndarray:
+        residue = (image - diffuse).max(axis=-1, keepdims=True)
+        return (residue > _RESIDUE_THRESH).astype(np.float32)
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return self.length // self.batch_size
+
+    def iter_epoch(self, shuffle_seed: Optional[int] = None,
+                   process_index: int = 0,
+                   process_count: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        if self.batch_size % process_count != 0:
+            raise ValueError(f"global batch {self.batch_size} not divisible by "
+                             f"{process_count} processes")
+        local = self.batch_size // process_count
+        order = np.arange(self.length)
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(order)
+        for b in range(self.batches_per_epoch):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            idx = idx[process_index * local:(process_index + 1) * local]
+            yield self._load(idx)
+
+
+def specseg_pairs(batch: Dict[str, np.ndarray]):
+    """Triplet batch -> (standardized Y (B,S,S,1), mask) for the SpecSeg trainer —
+    the same preprocessing every SpecSeg consumer applies (train/step.py:113-116,
+    infer.py:49-53)."""
+    import jax.numpy as jnp
+
+    from shmgan_tpu.ops.color import rgb_to_yuv
+    from shmgan_tpu.ops.standardize import per_image_standardization
+
+    y = rgb_to_yuv(jnp.asarray(batch["image"]))[..., 0:1]
+    y_std, _ = per_image_standardization(y)
+    return y_std, jnp.asarray(batch["mask"])
+
+
+def triplet_to_views(batch: Dict[str, np.ndarray]) -> np.ndarray:
+    """Triplet batch -> (5, B, S, S, 3) pseudo-view stack for the GAN step.
+
+    Real triplet data has no polarized views, so the four view slots carry the
+    input image (channel dropout then samples which slots survive) and the ED
+    slot carries the diffuse ground truth — the GAN's reconstruction targets
+    stay exact while the G1/inference pattern (one image in, diffuse out,
+    test.py:227-235) is trained on real imagery.
+    """
+    img = np.asarray(batch["image"])
+    dif = np.asarray(batch["diffuse"])
+    return np.stack([img, img, img, img, dif])

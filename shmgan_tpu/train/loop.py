@@ -145,9 +145,14 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         epoch_arr = jnp.asarray(epoch, jnp.int32)
-        feed = DevicePrefetcher(dataset.iter_epoch(), mesh=mesh,
-                                depth=cfg.data.prefetch,
-                                spatial=cfg.mesh.spatial_sharding)
+        # Deterministic shuffling keyed by epoch keeps every process on the same
+        # global order without cross-host coordination; each process decodes
+        # only its slice of each global batch (no-op at process_count=1).
+        feed = DevicePrefetcher(
+            dataset.iter_epoch(process_index=jax.process_index(),
+                               process_count=jax.process_count()),
+            mesh=mesh, depth=cfg.data.prefetch,
+            spatial=cfg.mesh.spatial_sharding)
         t_epoch = time.perf_counter()
         for batch_idx, views in enumerate(feed):
             rng, step_rng = jax.random.split(rng)
