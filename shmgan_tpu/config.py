@@ -66,9 +66,12 @@ class ModelConfig:
     d_dropout: float = 0.2
     # Parameter init stddev, DCGAN-style N(0, 0.02) (ShmGANwithSSpecSeg.py:200)
     init_stddev: float = 0.02
-    # Compute dtype for the model bodies. Params are always f32; bf16 compute engages
-    # the MXU's native precision.  f32 is the parity mode.
-    compute_dtype: str = "float32"
+    # Compute dtype for the model bodies. Params are always f32; bf16 compute
+    # engages the MXU's native precision and is the production default
+    # (convergence validated against f32 over 200-step trajectories, DESIGN.md
+    # §2/§6). Set "float32" for strict-parity numerics — parity/golden tests
+    # pin it explicitly.
+    compute_dtype: str = "bfloat16"
     # Use the fused Pallas instance-norm kernel (ops/pallas/instance_norm.py)
     # inside G and D. TPU-only; identical math (A/B benched, see DESIGN.md).
     use_pallas_instance_norm: bool = False
@@ -217,7 +220,7 @@ class Config:
         p.add_argument("--log_dir", type=str, default="./logs/train")
         p.add_argument("--num_iteration", type=int, default=20000)
         p.add_argument("--specseg_weights", type=str, default="specsegv3_chkpt.h5")
-        p.add_argument("--compute_dtype", type=str, default="float32",
+        p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
         p.add_argument("--seed", type=int, default=25)
         p.add_argument("--data_parallel", type=int, default=-1)
