@@ -1,0 +1,201 @@
+"""HTTP serving front-end over the batch inference engine — stdlib only.
+
+The reference has no serving story at all (its test path is an eager per-image
+loop, test.py:195-297). serve.py provides the deployable engine; this module
+puts a production-style HTTP API in front of it without any web-framework
+dependency (http.server.ThreadingHTTPServer is in the standard library, which
+is the only thing this image guarantees).
+
+Endpoints:
+  GET  /healthz                   liveness + device info (JSON)
+  GET  /stats                     request counters / latency EMA (JSON)
+  POST /v1/specfree               body: encoded image (png/jpeg/bmp/ppm bytes)
+       ?size=<px>                 optional resolution (engine pool compiles one
+                                  graph per size; default cfg.model.image_size)
+       ?output=image|mask|json    response: specular-free PNG (default), the
+                                  SpecSeg mask PNG, or JSON metadata with both
+                                  images base64-encoded
+
+Design notes (TPU):
+  * One device, many HTTP threads: a lock serializes device calls; IO
+    (decode/encode) happens outside it on the request threads.
+  * EnginePool compiles one fixed-shape graph per requested size — requests at
+    a known size never retrace; a new size pays one compile then is cached.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.serve import BatchInferenceEngine
+
+
+class EnginePool:
+    """One BatchInferenceEngine per image size, built lazily from shared
+    weights. Device calls are serialized — one TPU, one compiled graph at a
+    time; decode/encode run concurrently on the request threads."""
+
+    def __init__(self, cfg: Config, g_params, specseg_vars,
+                 batch_size: int = 1, max_sizes: int = 4):
+        self._cfg = cfg
+        self._g_params = g_params
+        self._specseg_vars = specseg_vars
+        self._batch_size = batch_size
+        self._max_sizes = max_sizes
+        self._engines: Dict[int, BatchInferenceEngine] = {}
+        self._build_lock = threading.Lock()
+        self.device_lock = threading.Lock()
+
+    def engine(self, size: int) -> BatchInferenceEngine:
+        eng = self._engines.get(size)
+        if eng is not None:
+            return eng
+        with self._build_lock:
+            eng = self._engines.get(size)
+            if eng is None:
+                if len(self._engines) >= self._max_sizes:
+                    raise ValueError(
+                        f"engine pool limit ({self._max_sizes} sizes) reached")
+                import dataclasses
+                cfg = dataclasses.replace(self._cfg)
+                cfg.model = dataclasses.replace(self._cfg.model, image_size=size)
+                eng = BatchInferenceEngine(cfg, self._g_params,
+                                           self._specseg_vars,
+                                           batch_size=self._batch_size)
+                self._engines[size] = eng
+        return eng
+
+
+def _decode_request_image(body: bytes, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(io.BytesIO(body)) as im:
+        im = im.convert("RGB")
+        if im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.float32)[None] / 255.0
+
+
+def _png_bytes(arr01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(arr01, 0, 1) * 255).astype(np.uint8)).save(
+        buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
+                port: int = 0, batch_size: int = 1) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server. port=0 binds an ephemeral port
+    (server.server_address[1] reports it)."""
+    pool = EnginePool(cfg, g_params, specseg_vars, batch_size=batch_size)
+    stats = {"requests": 0, "images": 0, "errors": 0, "latency_ema_ms": 0.0}
+    stats_lock = threading.Lock()
+    default_size = cfg.model.image_size
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _bytes(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+                self._json(200, {"status": "ok",
+                                 "backend": jax.default_backend(),
+                                 "devices": len(jax.devices()),
+                                 "compiled_sizes": sorted(pool._engines)})
+            elif path == "/stats":
+                with stats_lock:
+                    self._json(200, dict(stats))
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/specfree":
+                self._json(404, {"error": f"unknown path {url.path}"})
+                return
+            q = parse_qs(url.query)
+            t0 = time.perf_counter()
+            try:
+                size = int(q.get("size", [default_size])[0])
+                output = q.get("output", ["image"])[0]
+                if output not in ("image", "mask", "json"):
+                    raise ValueError(f"output must be image|mask|json")
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    raise ValueError("empty body")
+                rgb = _decode_request_image(self.rfile.read(length), size)
+            except Exception as e:
+                with stats_lock:
+                    stats["errors"] += 1
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                eng = pool.engine(size)
+                with pool.device_lock:
+                    out = eng.process_images(rgb)
+            except Exception as e:
+                with stats_lock:
+                    stats["errors"] += 1
+                self._json(500, {"error": str(e)})
+                return
+
+            gen = out["gen_rgb_calibrated"][0]
+            mask = out["mask"][0, ..., 0]
+            if output == "image":
+                resp = self._bytes(200, _png_bytes(gen), "image/png")
+            elif output == "mask":
+                resp = self._bytes(200, _png_bytes(mask), "image/png")
+            else:
+                self._json(200, {
+                    "size": size,
+                    "mask_coverage": round(float(mask.mean()), 5),
+                    "image_png_b64": base64.b64encode(
+                        _png_bytes(gen)).decode(),
+                    "mask_png_b64": base64.b64encode(
+                        _png_bytes(mask)).decode(),
+                })
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            with stats_lock:
+                stats["requests"] += 1
+                stats["images"] += 1
+                ema = stats["latency_ema_ms"]
+                stats["latency_ema_ms"] = round(
+                    dt_ms if ema == 0.0 else 0.9 * ema + 0.1 * dt_ms, 2)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(cfg: Config, g_params, specseg_vars, host: str = "0.0.0.0",
+                  port: int = 8000, batch_size: int = 1):
+    srv = make_server(cfg, g_params, specseg_vars, host, port, batch_size)
+    print(f"[serve_http] listening on {srv.server_address}")
+    srv.serve_forever()

@@ -1,0 +1,111 @@
+"""HTTP serving front-end tests (serve_http.py): endpoints, engine pool,
+error handling — all against a live ThreadingHTTPServer on an ephemeral port
+with a tiny CPU model."""
+
+import dataclasses
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import jax
+import numpy as np
+import pytest
+
+from shmgan_tpu.config import Config
+from shmgan_tpu.serve_http import make_server
+from shmgan_tpu.train.state import create_train_state
+
+
+def tiny_cfg(size=32) -> Config:
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=size, filter_size=8,
+                                    specseg_base_filters=4,
+                                    compute_dtype="float32")
+    return cfg
+
+
+def png_bytes(size=32, seed=0) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.uniform(0, 1, (size, size, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_cfg()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    srv = make_server(cfg, state.g_params, state.specseg_vars)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": "image/png"})
+    return urllib.request.urlopen(req, timeout=600)
+
+
+class TestHTTPServing:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+            payload = json.loads(r.read())
+        assert payload["status"] == "ok"
+        assert payload["devices"] >= 1
+
+    def test_specfree_image(self, server):
+        from PIL import Image
+
+        with _post(server + "/v1/specfree", png_bytes()) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (32, 32)
+
+    def test_specfree_mask_and_json(self, server):
+        from PIL import Image
+
+        with _post(server + "/v1/specfree?output=mask", png_bytes(seed=1)) as r:
+            mask = Image.open(io.BytesIO(r.read()))
+        assert mask.size == (32, 32)
+
+        with _post(server + "/v1/specfree?output=json", png_bytes(seed=2)) as r:
+            payload = json.loads(r.read())
+        assert 0.0 <= payload["mask_coverage"] <= 1.0
+        import base64
+        img = Image.open(io.BytesIO(base64.b64decode(payload["image_png_b64"])))
+        assert img.size == (32, 32)
+
+    def test_bad_body_is_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server + "/v1/specfree", b"this is not an image")
+        assert exc.value.code == 400
+
+    def test_unknown_path_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(server + "/nope", timeout=60)
+        assert exc.value.code == 404
+
+    def test_stats_counts(self, server):
+        with urllib.request.urlopen(server + "/stats", timeout=60) as r:
+            payload = json.loads(r.read())
+        assert payload["requests"] >= 3
+        assert payload["latency_ema_ms"] > 0
+
+    def test_engine_pool_second_size(self, server):
+        # requesting a new size compiles a second engine in the pool
+        from PIL import Image
+
+        with _post(server + "/v1/specfree?size=16", png_bytes(size=48,
+                                                              seed=3)) as r:
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (16, 16)
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+            payload = json.loads(r.read())
+        assert sorted(payload["compiled_sizes"]) == [16, 32]
