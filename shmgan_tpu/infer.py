@@ -17,6 +17,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from shmgan_tpu.config import Config
 from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
@@ -35,6 +36,10 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
                  (the reference's gen_rgb_output, test.py:249, which uses a running
                  MEAN of stddevs — here the image's own stddev: honest per-image
                  version, identical at the first image)
+      gen_rgb_calibrated : exact inverse of the input standardization; [0,1] RGB
+      gen_rgb_composited : mask-composited deliverable — input outside the
+                 (dilated, softened) specular mask, calibrated reconstruction
+                 inside it
       mask     : (B,H,W,1) SpecSeg specular mask
       gen_y    : (B,H,W,1) generated Y channel
       cyc_rgb  : (5,B,H,W,3) diagnostic cyclic reconstructions (CONFIG B) when
@@ -69,8 +74,22 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
         # multiplies by a global running-mean stddev ×255, test.py:246-249).
         calibrated = jnp.clip(yuv_to_rgb(gen_yuv * scale), 0.0, 1.0)
 
+        # Mask-composited deliverable: copy the input verbatim outside the
+        # specular regions and use the generated reconstruction inside them
+        # (mask slightly dilated + softened so highlight skirts are covered).
+        # Outside the highlights the input IS the diffuse image, so compositing
+        # preserves it exactly — the practical specular-removal output the
+        # reference's mask-attention design gestures at but never assembles
+        # (its preview is the raw generator tensor, test.py:246-250).
+        m = lax.reduce_window(mask, -jnp.inf, lax.max, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "SAME")        # 5x5 dilation
+        m = lax.reduce_window(m, 0.0, lax.add, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "SAME") / 25.0  # box soften
+        composited = m * calibrated + (1.0 - m) * rgb
+
         out = {"gen_rgb": gen_rgb, "gen_rgb_denorm": denorm,
-               "gen_rgb_calibrated": calibrated, "mask": mask, "gen_y": gen_y}
+               "gen_rgb_calibrated": calibrated,
+               "gen_rgb_composited": composited, "mask": mask, "gen_y": gen_y}
 
         if with_cyclic:
             # CONFIG B (test.py:260-264): every non-target channel carries the

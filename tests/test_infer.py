@@ -117,3 +117,52 @@ class TestCalibratedOutput:
         expect = np.clip(np.asarray(out["gen_rgb"])
                          * np.asarray(stats.stddev).reshape(-1, 1, 1, 1), 0, 1)
         np.testing.assert_allclose(cal, expect, atol=1e-5)
+
+
+class TestCompositedOutput:
+    """gen_rgb_composited (infer.py): input verbatim outside the dilated+softened
+    specular mask, calibrated reconstruction inside."""
+
+    def test_composite_contract(self):
+        import dataclasses as dc
+        cfg = Config()
+        cfg.model = dc.replace(cfg.model, image_size=32, filter_size=8,
+                               specseg_base_filters=4, compute_dtype="float32")
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        infer = make_infer_fn(cfg)
+        rgb = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out = infer(state.g_params, state.specseg_vars, rgb)
+        assert out["gen_rgb_composited"].shape == (2, 32, 32, 3)
+
+        # reconstruct the compositing weight on the host and pin the contract
+        mask = np.asarray(out["mask"])
+        from scipy import ndimage  # if unavailable, do it with numpy below
+        m = np.zeros_like(mask)
+        for b in range(mask.shape[0]):
+            dil = ndimage.maximum_filter(mask[b, ..., 0], size=5, mode="constant",
+                                         cval=-np.inf)
+            soft = ndimage.uniform_filter(dil, size=5, mode="constant", cval=0.0)
+            m[b, ..., 0] = soft
+        expected = m * np.asarray(out["gen_rgb_calibrated"]) \
+            + (1 - m) * np.asarray(rgb)
+        np.testing.assert_allclose(np.asarray(out["gen_rgb_composited"]),
+                                   expected, rtol=1e-4, atol=1e-5)
+
+    def test_input_preserved_where_mask_zero(self):
+        import dataclasses as dc
+        cfg = Config()
+        cfg.model = dc.replace(cfg.model, image_size=32, filter_size=8,
+                               specseg_base_filters=4, compute_dtype="float32")
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        infer = make_infer_fn(cfg)
+        rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        out = infer(state.g_params, state.specseg_vars, rgb)
+        mask = np.asarray(out["mask"][0, ..., 0])
+        comp = np.asarray(out["gen_rgb_composited"][0])
+        inp = np.asarray(rgb[0])
+        # pixels whose full 9x9 neighborhood has (near-)zero mask keep the input
+        from scipy import ndimage
+        neigh_max = ndimage.maximum_filter(mask, size=9, mode="constant")
+        quiet = neigh_max < 1e-4
+        if quiet.any():
+            np.testing.assert_allclose(comp[quiet], inp[quiet], atol=1e-3)
