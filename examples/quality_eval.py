@@ -1,0 +1,147 @@
+"""Final quality evaluation against the identity baseline — the round artifact.
+
+Restores a trained checkpoint (examples/quality_train.py) and evaluates the
+full product surface on a FRESH held-out set (host numpy curriculum, a seed
+never used in training or its periodic oracle):
+
+  * gen_rgb_calibrated  — raw reconstruction in the input's [0,1] RGB domain
+  * gen_rgb_composited  — input outside the dilated specular mask,
+                          reconstruction inside (the product deliverable)
+  * identity baseline   — the input itself
+
+Metrics: PSNR, SSIM (max_val=1, honest), SpecSeg-embedding FID, plus the
+reference-style table (eval/metrics.py::evaluate_pair — SSIM on rescaled
+images at max_val 5, deltaE76/94; the skewed forms test.py:336-347 uses).
+Writes JSON + PNG galleries under --out.
+
+Usage: python examples/quality_eval.py --ckpt_dir /root/ckpt_quality_r2 \
+           --out benchmarks/quality_r2 [--step N] [--eval_n 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--out", type=str, default="benchmarks/quality_r2")
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--eval_n", type=int, default=128)
+    p.add_argument("--seed", type=int, default=999,
+                   help="held-out scene seed (never used in training)")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--tag", type=str, default="final")
+    p.add_argument("--cpu", action="store_true")
+    a = p.parse_args(argv)
+
+    if a.cpu:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from shmgan_tpu.checkpoint import CheckpointManager
+    from shmgan_tpu.config import Config
+    from shmgan_tpu.data.synthetic import synth_eval_set
+    from shmgan_tpu.eval.fid import fid_from_images
+    from shmgan_tpu.eval.metrics import evaluate_pair
+    from shmgan_tpu.infer import make_infer_fn
+    from shmgan_tpu.ops.ssim import ssim as ssim_fn
+    from shmgan_tpu.train.state import create_train_state
+
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=a.image_size,
+                                    compute_dtype="float32")
+    log(f"backend: {jax.default_backend()}")
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(a.ckpt_dir)
+    restored = ckpt.restore(state, step=a.step)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {a.ckpt_dir}")
+    state = restored
+    log(f"restored checkpoint step {int(state.step)}")
+
+    ins_np, gts_np, _ = synth_eval_set(a.eval_n, a.image_size, seed=a.seed)
+    infer = make_infer_fn(cfg)
+
+    def batched_infer(rgb_np):
+        outs = {}
+        for i in range(0, rgb_np.shape[0], a.batch):
+            out = infer(state.g_params, state.specseg_vars,
+                        jnp.asarray(rgb_np[i:i + a.batch]))
+            for k in ("gen_rgb_calibrated", "gen_rgb_composited", "mask"):
+                outs.setdefault(k, []).append(np.asarray(out[k]))
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    out = batched_infer(ins_np)
+    gts = jnp.asarray(gts_np)
+    ins = jnp.asarray(ins_np)
+
+    def metrics(x_np, name):
+        x = jnp.asarray(x_np)
+        mse = jnp.mean((x - gts) ** 2, axis=(1, 2, 3))
+        psnr = float(jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+        ssim = float(jnp.mean(ssim_fn(x, gts, max_val=1.0)))
+        fid = float(fid_from_images(state.specseg_vars, x, gts))
+        ref_style = {k: round(float(jnp.mean(v)), 4)
+                     for k, v in evaluate_pair(x, gts).items()}
+        m = {"psnr": round(psnr, 4), "ssim": round(ssim, 4),
+             "fid": round(fid, 5), "reference_style": ref_style}
+        log(f"{name}: PSNR {psnr:.2f} SSIM {ssim:.4f} FID {fid:.4f} "
+            f"(ref-style: {ref_style})")
+        return m
+
+    result = {
+        "checkpoint_step": int(state.step),
+        "eval_n": a.eval_n,
+        "heldout_seed": a.seed,
+        "identity_baseline": metrics(ins_np, "identity (input)"),
+        "gen_calibrated": metrics(out["gen_rgb_calibrated"], "calibrated"),
+        "gen_composited": metrics(out["gen_rgb_composited"], "composited"),
+    }
+    for key in ("gen_calibrated", "gen_composited"):
+        base = result["identity_baseline"]
+        m = result[key]
+        m["beats_identity"] = bool(m["psnr"] > base["psnr"]
+                                   and m["ssim"] > base["ssim"])
+
+    os.makedirs(a.out, exist_ok=True)
+    path = os.path.join(a.out, f"quality_{a.tag}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    log(f"wrote {path}")
+
+    from shmgan_tpu.utils.viz import image_grid
+    for i in range(min(4, a.eval_n)):
+        image_grid(
+            [ins_np[i], out["mask"][i][..., 0], out["gen_rgb_calibrated"][i],
+             out["gen_rgb_composited"][i], gts_np[i]],
+            titles=["input", "mask", "calibrated", "composited", "diffuse GT"],
+            path=os.path.join(a.out, f"{a.tag}_grid_{i}.png"))
+    log("galleries written")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -31,9 +31,11 @@ from shmgan_tpu.train.step import make_train_step, preprocess_views, _onehot_pla
 
 def cfg_nodropout() -> Config:
     cfg = Config()
+    # strict-parity check: leaf-for-leaf gradient equality needs f32 compute
+    # (bf16 is the production default; f32 is the documented parity mode)
     cfg.model = dataclasses.replace(cfg.model, image_size=32, filter_size=8,
                                     specseg_base_filters=4, d_input_noise=0.0,
-                                    d_dropout=0.0)
+                                    d_dropout=0.0, compute_dtype="float32")
     cfg.train = dataclasses.replace(cfg.train, batch_size=1)
     cfg.data = dataclasses.replace(cfg.data, flip=False)
     return cfg
