@@ -32,27 +32,9 @@ def run_test(cfg: Config):
     from shmgan_tpu.data.loader import SingleFolderDataset
     from shmgan_tpu.eval.metrics import MetricAccumulator, evaluate_pair
     from shmgan_tpu.infer import make_infer_fn
-    from shmgan_tpu.train.state import create_train_state
 
     print(cfg.describe())
-
-    specseg_vars = None
-    if os.path.exists(cfg.eval.specseg_weights):
-        specseg_vars = load_specseg_weights(
-            cfg.eval.specseg_weights,
-            base_filters=cfg.model.specseg_base_filters,
-            image_size=cfg.model.image_size)
-    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
-                               specseg_vars=specseg_vars)
-    ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
-                             max_to_keep=cfg.train.checkpoint_max_to_keep)
-    restored = ckpt.restore(state)
-    if restored is not None:
-        state = restored
-        print(f"[ckpt] restored step {int(state.step)}")
-    else:
-        print("[ckpt] WARNING: no checkpoint found — using random weights")
-
+    state = _restored_state(cfg)
     infer = make_infer_fn(cfg, with_cyclic=True)
 
     test_ds = SingleFolderDataset(cfg.data.test_dir, cfg.model.image_size,
@@ -78,6 +60,7 @@ def run_test(cfg: Config):
         # standardization — lives in the input's [0,1] RGB domain) plus the
         # predicted mask. The reference min-max-stretches for display
         # (test.py:413-415); that stretch is a debug view, not the product.
+        comp = np.asarray(out["gen_rgb_composited"])
         for j in range(gen.shape[0]):
             idx = i * cfg.train.batch_size + j
             Image.fromarray((np.clip(gen[j], 0, 1) * 255).astype(np.uint8)).save(
@@ -85,6 +68,9 @@ def run_test(cfg: Config):
             Image.fromarray(
                 (np.clip(mask[j, ..., 0], 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(cfg.train.result_dir, f"result_{idx:05d}_mask.png"))
+            Image.fromarray((np.clip(comp[j], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(cfg.train.result_dir,
+                             f"result_{idx:05d}_composited.png"))
 
         if diffuse_iter is not None:
             target = next(diffuse_iter)
@@ -97,12 +83,57 @@ def run_test(cfg: Config):
         acc.dump_jsonl(os.path.join(cfg.train.result_dir, "metrics.jsonl"))
 
 
+def _restored_state(cfg: Config):
+    from shmgan_tpu.train.state import create_train_state
+
+    specseg_vars = None
+    if os.path.exists(cfg.eval.specseg_weights):
+        specseg_vars = load_specseg_weights(
+            cfg.eval.specseg_weights,
+            base_filters=cfg.model.specseg_base_filters,
+            image_size=cfg.model.image_size)
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                               specseg_vars=specseg_vars)
+    ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
+                             max_to_keep=cfg.train.checkpoint_max_to_keep)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"[ckpt] restored step {int(state.step)}")
+    else:
+        print("[ckpt] WARNING: no checkpoint found — using random weights")
+    return state
+
+
+def run_serve(cfg: Config):
+    """Serving mode: HTTP endpoint (default) or folder-watch daemon.
+
+    HTTP:   python -m shmgan_tpu.cli --mode serve --serve_port 8000 ...
+    watch:  python -m shmgan_tpu.cli --mode serve --serve_watch_dir in/ \
+                --result_dir out/ ...
+    """
+    state = _restored_state(cfg)
+    if cfg.serve.watch_dir:
+        from shmgan_tpu.serve import BatchInferenceEngine
+        eng = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                                   batch_size=cfg.serve.batch_size)
+        print(f"[serve] watching {cfg.serve.watch_dir} -> {cfg.train.result_dir}")
+        eng.watch_folder(cfg.serve.watch_dir, cfg.train.result_dir)
+    else:
+        from shmgan_tpu.serve_http import serve_forever
+        serve_forever(cfg, state.g_params, state.specseg_vars,
+                      host=cfg.serve.host, port=cfg.serve.port,
+                      batch_size=cfg.serve.batch_size)
+
+
 def main(argv: Optional[list] = None):
     cfg = Config.from_args(argv)
     if cfg.mode == "train":
         run_train(cfg)
     elif cfg.mode == "test":
         run_test(cfg)
+    elif cfg.mode == "serve":
+        run_serve(cfg)
     elif cfg.mode == "bench":
         import runpy
         sys.argv = [sys.argv[0]]

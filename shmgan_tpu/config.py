@@ -180,12 +180,24 @@ class EvalConfig:
 
 
 @dataclass
+class ServeConfig:
+    """Serving surface (ABSENT in the reference — test.py is an eager per-image
+    loop; serve.py/serve_http.py are the deployable paths)."""
+    host: str = "0.0.0.0"
+    port: int = 8000
+    batch_size: int = 1
+    # when set, run the folder-watch daemon instead of the HTTP server
+    watch_dir: str = ""
+
+
+@dataclass
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
     mode: str = "train"
 
     @classmethod
@@ -194,7 +206,12 @@ class Config:
         p = argparse.ArgumentParser(description="SHMGAN-TPU: specular highlight mitigation")
         p.add_argument("--est_diffuse", type=_strtobool, default=True)
         p.add_argument("--flip", type=_strtobool, default=True)
-        p.add_argument("--mode", type=str, default="train", choices=["train", "test", "bench"])
+        p.add_argument("--mode", type=str, default="train",
+                       choices=["train", "test", "serve", "bench"])
+        p.add_argument("--serve_host", type=str, default="0.0.0.0")
+        p.add_argument("--serve_port", type=int, default=8000)
+        p.add_argument("--serve_batch_size", type=int, default=1)
+        p.add_argument("--serve_watch_dir", type=str, default="")
         p.add_argument("--calc_metrics", type=_strtobool, default=False)
         p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
         p.add_argument("--image_size", type=int, default=128)
@@ -250,6 +267,9 @@ class Config:
             cfg.mesh, data_parallel=a.data_parallel, model_parallel=a.model_parallel)
         cfg.eval = dataclasses.replace(
             cfg.eval, calc_metrics=a.calc_metrics, specseg_weights=a.specseg_weights)
+        cfg.serve = dataclasses.replace(
+            cfg.serve, host=a.serve_host, port=a.serve_port,
+            batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir)
         return cfg
 
     def describe(self) -> str:

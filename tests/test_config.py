@@ -61,3 +61,36 @@ class TestConfig:
         assert cfg.model.d_repeat_num == 4
         assert cfg.train.num_iteration == 9
         assert cfg.train.num_iteration_decay == 3
+
+
+class TestServeConfig:
+    def test_serve_flags_parse(self):
+        cfg = Config.from_args([
+            "--mode", "serve", "--serve_port", "9001", "--serve_host",
+            "127.0.0.1", "--serve_batch_size", "4",
+            "--serve_watch_dir", "/tmp/in"])
+        assert cfg.mode == "serve"
+        assert cfg.serve.port == 9001
+        assert cfg.serve.host == "127.0.0.1"
+        assert cfg.serve.batch_size == 4
+        assert cfg.serve.watch_dir == "/tmp/in"
+
+    def test_serve_defaults(self):
+        cfg = Config.from_args(["--mode", "serve"])
+        assert cfg.serve.port == 8000 and cfg.serve.watch_dir == ""
+
+    def test_cli_dispatches_serve(self, monkeypatch, tmp_path):
+        from shmgan_tpu import cli
+
+        calls = {}
+        monkeypatch.setattr(cli, "_restored_state",
+                            lambda cfg: type("S", (), {"g_params": {},
+                                                       "specseg_vars": {}})())
+
+        def fake_serve_forever(cfg, g, s, host, port, batch_size):
+            calls["http"] = (host, port, batch_size)
+        import shmgan_tpu.serve_http as sh
+        monkeypatch.setattr(sh, "serve_forever", fake_serve_forever)
+        cli.main(["--mode", "serve", "--serve_port", "9002",
+                  "--serve_host", "127.0.0.1"])
+        assert calls["http"] == ("127.0.0.1", 9002, 1)
