@@ -250,3 +250,71 @@ def load_specseg_weights(path: str, base_filters: int = 16,
         return load_specseg_msgpack(path, base_filters=base_filters,
                                     image_size=image_size)
     return load_specseg_h5(path)
+
+
+# ---------------------------------------------------------------------------
+# Deployable inference bundle (generator + SpecSeg, no optimizer state)
+# ---------------------------------------------------------------------------
+# A full train checkpoint carries both Adam states (~3x the parameter bytes) and
+# the discriminator — none of it needed to serve. The bundle is a single flax
+# msgpack of {g_params, specseg_vars} + a tiny json header with the model
+# hyperparameters needed to rebuild the graph.
+
+def export_inference_bundle(state, cfg, path: str) -> None:
+    """Write a serving bundle from a TrainState: <path> (msgpack) and
+    <path>.json (model config header)."""
+    import json
+
+    import flax.serialization
+
+    payload = {"g_params": jax.device_get(state.g_params),
+               "specseg_vars": jax.device_get(state.specseg_vars)}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))
+    header = {"step": int(state.step),
+              "image_size": cfg.model.image_size,
+              "filter_size": cfg.model.filter_size,
+              "c_dim": cfg.model.c_dim,
+              "specseg_base_filters": cfg.model.specseg_base_filters}
+    with open(path + ".json", "w") as f:
+        json.dump(header, f, indent=1)
+
+
+def load_inference_bundle(path: str):
+    """-> (g_params, specseg_vars, header_dict). Template trees come from a
+    fresh eval_shape init using the bundle's own header."""
+    import json
+
+    import flax.serialization
+    import jax.numpy as jnp
+
+    from shmgan_tpu.models import SpecSeg
+    from shmgan_tpu.train.state import build_models
+    from shmgan_tpu.config import Config
+
+    with open(path + ".json") as f:
+        header = json.load(f)
+
+    import dataclasses
+    cfg = Config()
+    cfg.model = dataclasses.replace(
+        cfg.model, image_size=header["image_size"],
+        filter_size=header["filter_size"], c_dim=header["c_dim"],
+        specseg_base_filters=header["specseg_base_filters"])
+    gen, _disc, specseg = build_models(cfg)
+    h = w = cfg.model.image_size
+    c = cfg.model.c_dim
+
+    def init():
+        kg, ks = jax.random.split(jax.random.PRNGKey(0))
+        g = gen.init(kg, jnp.zeros((1, h, w, 2 * c), jnp.float32),
+                     jnp.zeros((1, h, w, 1), jnp.float32))["params"]
+        s = specseg.init(ks, jnp.zeros((1, h, w, 1), jnp.float32), train=False)
+        return {"g_params": g, "specseg_vars": s}
+
+    template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
+                                      jax.eval_shape(init))
+    with open(path, "rb") as f:
+        loaded = flax.serialization.from_bytes(template, f.read())
+    return loaded["g_params"], loaded["specseg_vars"], header

@@ -105,6 +105,20 @@ def _restored_state(cfg: Config):
     return state
 
 
+def _serving_weights(cfg: Config):
+    """(g_params, specseg_vars) from the inference bundle when configured,
+    else from the training checkpoint."""
+    if cfg.serve.weights_bundle:
+        from shmgan_tpu.checkpoint import load_inference_bundle
+        g_params, specseg_vars, header = load_inference_bundle(
+            cfg.serve.weights_bundle)
+        print(f"[serve] loaded bundle step {header['step']} "
+              f"({cfg.serve.weights_bundle})")
+        return g_params, specseg_vars
+    state = _restored_state(cfg)
+    return state.g_params, state.specseg_vars
+
+
 def run_serve(cfg: Config):
     """Serving mode: HTTP endpoint (default) or folder-watch daemon.
 
@@ -112,18 +126,31 @@ def run_serve(cfg: Config):
     watch:  python -m shmgan_tpu.cli --mode serve --serve_watch_dir in/ \
                 --result_dir out/ ...
     """
-    state = _restored_state(cfg)
+    g_params, specseg_vars = _serving_weights(cfg)
     if cfg.serve.watch_dir:
         from shmgan_tpu.serve import BatchInferenceEngine
-        eng = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+        eng = BatchInferenceEngine(cfg, g_params, specseg_vars,
                                    batch_size=cfg.serve.batch_size)
         print(f"[serve] watching {cfg.serve.watch_dir} -> {cfg.train.result_dir}")
         eng.watch_folder(cfg.serve.watch_dir, cfg.train.result_dir)
     else:
         from shmgan_tpu.serve_http import serve_forever
-        serve_forever(cfg, state.g_params, state.specseg_vars,
+        serve_forever(cfg, g_params, specseg_vars,
                       host=cfg.serve.host, port=cfg.serve.port,
                       batch_size=cfg.serve.batch_size)
+
+
+def run_export(cfg: Config):
+    """Export the deployable inference bundle (generator + SpecSeg, no
+    optimizer state) from the training checkpoint into model_save_dir —
+    the purpose the reference's --model_save_dir flag never served."""
+    from shmgan_tpu.checkpoint import export_inference_bundle
+
+    state = _restored_state(cfg)
+    path = os.path.join(cfg.train.model_save_dir, "shmgan_infer.msgpack")
+    export_inference_bundle(state, cfg, path)
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"[export] wrote {path} ({size_mb:.1f} MB, step {int(state.step)})")
 
 
 def main(argv: Optional[list] = None):
@@ -134,6 +161,8 @@ def main(argv: Optional[list] = None):
         run_test(cfg)
     elif cfg.mode == "serve":
         run_serve(cfg)
+    elif cfg.mode == "export":
+        run_export(cfg)
     elif cfg.mode == "bench":
         import runpy
         sys.argv = [sys.argv[0]]

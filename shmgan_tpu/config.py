@@ -188,6 +188,9 @@ class ServeConfig:
     batch_size: int = 1
     # when set, run the folder-watch daemon instead of the HTTP server
     watch_dir: str = ""
+    # serve from an exported inference bundle (cli --mode export) instead of a
+    # full training checkpoint
+    weights_bundle: str = ""
 
 
 @dataclass
@@ -207,11 +210,12 @@ class Config:
         p.add_argument("--est_diffuse", type=_strtobool, default=True)
         p.add_argument("--flip", type=_strtobool, default=True)
         p.add_argument("--mode", type=str, default="train",
-                       choices=["train", "test", "serve", "bench"])
+                       choices=["train", "test", "serve", "export", "bench"])
         p.add_argument("--serve_host", type=str, default="0.0.0.0")
         p.add_argument("--serve_port", type=int, default=8000)
         p.add_argument("--serve_batch_size", type=int, default=1)
         p.add_argument("--serve_watch_dir", type=str, default="")
+        p.add_argument("--serve_weights_bundle", type=str, default="")
         p.add_argument("--calc_metrics", type=_strtobool, default=False)
         p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
         p.add_argument("--image_size", type=int, default=128)
@@ -269,7 +273,8 @@ class Config:
             cfg.eval, calc_metrics=a.calc_metrics, specseg_weights=a.specseg_weights)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
-            batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir)
+            batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,
+            weights_bundle=a.serve_weights_bundle)
         return cfg
 
     def describe(self) -> str:

@@ -185,3 +185,47 @@ class TestSpecSegMsgpack:
         for a, b in zip(jax.tree_util.tree_leaves(ss_vars),
                         jax.tree_util.tree_leaves(state.specseg_vars)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestInferenceBundle:
+    """Deployable inference bundle (checkpoint.py): generator + SpecSeg, no
+    optimizer state — the serving hand-off (cli --mode export / --serve_weights_bundle)."""
+
+    def test_export_load_roundtrip_preserves_inference(self, tmp_path):
+        from shmgan_tpu.checkpoint import (export_inference_bundle,
+                                           load_inference_bundle)
+        from shmgan_tpu.infer import make_infer_fn
+
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        path = str(tmp_path / "bundle.msgpack")
+        export_inference_bundle(state, cfg, path)
+        assert os.path.exists(path) and os.path.exists(path + ".json")
+
+        g_params, ss_vars, header = load_inference_bundle(path)
+        assert header["image_size"] == cfg.model.image_size
+
+        infer = make_infer_fn(cfg)
+        rgb = jax.random.uniform(jax.random.PRNGKey(1),
+                                 (1, cfg.model.image_size,
+                                  cfg.model.image_size, 3))
+        a = infer(state.g_params, state.specseg_vars, rgb)
+        b = infer(g_params, ss_vars, rgb)
+        np.testing.assert_allclose(np.asarray(a["gen_rgb_calibrated"]),
+                                   np.asarray(b["gen_rgb_calibrated"]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_bundle_smaller_than_checkpoint_state(self, tmp_path):
+        from shmgan_tpu.checkpoint import export_inference_bundle
+
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        path = str(tmp_path / "bundle.msgpack")
+        export_inference_bundle(state, cfg, path)
+        bundle_bytes = os.path.getsize(path)
+        state_bytes = sum(
+            np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(
+                {"g": state.g_params, "d": state.d_params,
+                 "go": state.g_opt_state, "do": state.d_opt_state,
+                 "s": state.specseg_vars}))
+        assert bundle_bytes < 0.5 * state_bytes
