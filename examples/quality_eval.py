@@ -103,7 +103,8 @@ def main(argv=None):
         mse = jnp.mean((x - gts) ** 2, axis=(1, 2, 3))
         psnr = float(jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
         ssim = float(jnp.mean(ssim_fn(x, gts, max_val=1.0)))
-        fid = float(fid_from_images(state.specseg_vars, x, gts))
+        fid = float(fid_from_images(state.specseg_vars, x, gts,
+                                    base_filters=cfg.model.specseg_base_filters))
         ref_style = {k: round(float(jnp.mean(v)), 4)
                      for k, v in evaluate_pair(x, gts).items()}
         m = {"psnr": round(psnr, 4), "ssim": round(ssim, 4),
