@@ -137,7 +137,8 @@ def run_serve(cfg: Config):
         from shmgan_tpu.serve_http import serve_forever
         serve_forever(cfg, g_params, specseg_vars,
                       host=cfg.serve.host, port=cfg.serve.port,
-                      batch_size=cfg.serve.batch_size)
+                      batch_size=cfg.serve.batch_size,
+                      batch_window_ms=cfg.serve.batch_window_ms)
 
 
 def run_export(cfg: Config):

@@ -191,6 +191,9 @@ class ServeConfig:
     # serve from an exported inference bundle (cli --mode export) instead of a
     # full training checkpoint
     weights_bundle: str = ""
+    # >0 enables the HTTP request-batching window: concurrent requests of one
+    # size aggregate into single device calls (bounded by serve batch_size)
+    batch_window_ms: float = 0.0
 
 
 @dataclass
@@ -216,6 +219,7 @@ class Config:
         p.add_argument("--serve_batch_size", type=int, default=1)
         p.add_argument("--serve_watch_dir", type=str, default="")
         p.add_argument("--serve_weights_bundle", type=str, default="")
+        p.add_argument("--serve_batch_window_ms", type=float, default=0.0)
         p.add_argument("--calc_metrics", type=_strtobool, default=False)
         p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
         p.add_argument("--image_size", type=int, default=128)
@@ -274,7 +278,8 @@ class Config:
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,
-            weights_bundle=a.serve_weights_bundle)
+            weights_bundle=a.serve_weights_bundle,
+            batch_window_ms=a.serve_batch_window_ms)
         return cfg
 
     def describe(self) -> str:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -95,11 +96,82 @@ def _png_bytes(arr01: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+class BatchingFrontend:
+    """Aggregates concurrent requests of one image size into single device
+    calls. Each request enqueues (rgb, slot); a collector thread drains the
+    queue, waits up to window_s for stragglers (bounded by the engine's
+    compiled batch size), runs ONE process_images, and fans results back out.
+    With window_s == 0 requests go straight through (one call per request)."""
+
+    def __init__(self, pool: EnginePool, window_s: float, max_batch: int):
+        self._pool = pool
+        self._window_s = window_s
+        self._max_batch = max(1, max_batch)
+        self._queues: Dict[int, "queue.Queue"] = {}
+        self._lock = threading.Lock()
+        self.device_calls = 0
+
+    def _collector(self, size: int, q: "queue.Queue"):
+        eng = self._pool.engine(size)
+        while True:
+            first = q.get()
+            batch = [first]
+            deadline = time.perf_counter() + self._window_s
+            while len(batch) < self._max_batch:
+                rest = deadline - time.perf_counter()
+                if rest <= 0:
+                    break
+                try:
+                    batch.append(q.get(timeout=rest))
+                except queue.Empty:
+                    break
+            rgb = np.concatenate([item[0] for item in batch])
+            try:
+                with self._pool.device_lock:
+                    self.device_calls += 1
+                    out = eng.process_images(rgb)
+                i = 0
+                for item in batch:
+                    n = item[0].shape[0]
+                    item[1]["out"] = {k: v[i:i + n] for k, v in out.items()
+                                      if hasattr(v, "shape") and v.shape[:1]
+                                      == (rgb.shape[0],)}
+                    i += n
+            except Exception as e:  # fan the failure out to every waiter
+                for item in batch:
+                    item[1]["err"] = e
+            finally:
+                for item in batch:
+                    item[1]["done"].set()
+
+    def submit(self, size: int, rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._window_s <= 0:
+            eng = self._pool.engine(size)
+            with self._pool.device_lock:
+                self.device_calls += 1
+                return eng.process_images(rgb)
+        with self._lock:
+            q = self._queues.get(size)
+            if q is None:
+                q = self._queues[size] = queue.Queue()
+                threading.Thread(target=self._collector, args=(size, q),
+                                 daemon=True).start()
+        slot = {"done": threading.Event()}
+        q.put((rgb, slot))
+        slot["done"].wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+
 def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
-                port: int = 0, batch_size: int = 1) -> ThreadingHTTPServer:
+                port: int = 0, batch_size: int = 1,
+                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server. port=0 binds an ephemeral port
-    (server.server_address[1] reports it)."""
+    (server.server_address[1] reports it). batch_window_ms > 0 enables the
+    request-batching window (engine batch_size bounds each aggregated call)."""
     pool = EnginePool(cfg, g_params, specseg_vars, batch_size=batch_size)
+    frontend = BatchingFrontend(pool, batch_window_ms / 1e3, batch_size)
     stats = {"requests": 0, "images": 0, "errors": 0, "latency_ema_ms": 0.0}
     stats_lock = threading.Lock()
     default_size = cfg.model.image_size
@@ -133,7 +205,9 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                                  "compiled_sizes": sorted(pool._engines)})
             elif path == "/stats":
                 with stats_lock:
-                    self._json(200, dict(stats))
+                    payload = dict(stats)
+                payload["device_calls"] = frontend.device_calls
+                self._json(200, payload)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -159,9 +233,7 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                 self._json(400, {"error": str(e)})
                 return
             try:
-                eng = pool.engine(size)
-                with pool.device_lock:
-                    out = eng.process_images(rgb)
+                out = frontend.submit(size, rgb)
             except Exception as e:
                 with stats_lock:
                     stats["errors"] += 1
@@ -195,7 +267,9 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
 
 
 def serve_forever(cfg: Config, g_params, specseg_vars, host: str = "0.0.0.0",
-                  port: int = 8000, batch_size: int = 1):
-    srv = make_server(cfg, g_params, specseg_vars, host, port, batch_size)
+                  port: int = 8000, batch_size: int = 1,
+                  batch_window_ms: float = 0.0):
+    srv = make_server(cfg, g_params, specseg_vars, host, port, batch_size,
+                      batch_window_ms=batch_window_ms)
     print(f"[serve_http] listening on {srv.server_address}")
     srv.serve_forever()

@@ -87,7 +87,7 @@ class TestServeConfig:
                             lambda cfg: type("S", (), {"g_params": {},
                                                        "specseg_vars": {}})())
 
-        def fake_serve_forever(cfg, g, s, host, port, batch_size):
+        def fake_serve_forever(cfg, g, s, host, port, batch_size, **kw):
             calls["http"] = (host, port, batch_size)
         import shmgan_tpu.serve_http as sh
         monkeypatch.setattr(sh, "serve_forever", fake_serve_forever)

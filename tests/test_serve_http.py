@@ -109,3 +109,48 @@ class TestHTTPServing:
         with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
             payload = json.loads(r.read())
         assert sorted(payload["compiled_sizes"]) == [16, 32]
+
+
+class TestBatchingWindow:
+    """Request-batching frontend: concurrent same-size requests aggregate into
+    fewer device calls (serve_http.BatchingFrontend)."""
+
+    @pytest.fixture(scope="class")
+    def batched_server(self):
+        cfg = tiny_cfg()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        srv = make_server(cfg, state.g_params, state.specseg_vars,
+                          batch_size=4, batch_window_ms=200.0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_concurrent_requests_share_device_calls(self, batched_server):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        # warm the engine (compile) so the timed window isn't eaten by compile
+        with _post(batched_server + "/v1/specfree", png_bytes(seed=10)) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(batched_server + "/stats",
+                                    timeout=60) as r:
+            calls_before = json.loads(r.read())["device_calls"]
+
+        def one(i):
+            with _post(batched_server + "/v1/specfree",
+                       png_bytes(seed=100 + i)) as r:
+                return Image.open(io.BytesIO(r.read())).size
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            sizes = list(ex.map(one, range(8)))
+        assert all(s == (32, 32) for s in sizes)
+
+        with urllib.request.urlopen(batched_server + "/stats",
+                                    timeout=60) as r:
+            calls_after = json.loads(r.read())["device_calls"]
+        # 8 requests, batch_size 4, 200ms window -> strictly fewer device
+        # calls than requests
+        assert calls_after - calls_before < 8
+        assert calls_after - calls_before >= 2
