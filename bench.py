@@ -147,6 +147,16 @@ def _other_tpu_clients() -> list:
         out = sp.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
     except Exception:
         return []
+    def on_cpu_backend(pid: str) -> bool:
+        # env vars don't show in ps args (e.g. dryrun_multichip's clean-env CPU
+        # child); /proc/<pid>/environ has the truth for same-user processes
+        try:
+            with open(f"/proc/{pid}/environ", "rb") as f:
+                env_blob = f.read()
+            return b"JAX_PLATFORMS=cpu" in env_blob
+        except OSError:
+            return False
+
     pids = []
     for line in out.splitlines():
         line = line.strip()
@@ -157,7 +167,7 @@ def _other_tpu_clients() -> list:
                 and "pytest" not in line and "claude" not in line \
                 and "JAX_PLATFORMS=cpu" not in line:
             pid = line.split()[0]
-            if pid != me:
+            if pid != me and not on_cpu_backend(pid):
                 pids.append(pid)
     return pids
 

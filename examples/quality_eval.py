@@ -43,6 +43,8 @@ def main(argv=None):
                    help="checkpoint step (default: latest)")
     p.add_argument("--out", type=str, default="benchmarks/quality_r2")
     p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--filter_size", type=int, default=64)
+    p.add_argument("--specseg_base_filters", type=int, default=16)
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=999,
                    help="held-out scene seed (never used in training)")
@@ -70,8 +72,9 @@ def main(argv=None):
     from shmgan_tpu.train.state import create_train_state
 
     cfg = Config()
-    cfg.model = dataclasses.replace(cfg.model, image_size=a.image_size,
-                                    compute_dtype="float32")
+    cfg.model = dataclasses.replace(
+        cfg.model, image_size=a.image_size, filter_size=a.filter_size,
+        specseg_base_filters=a.specseg_base_filters, compute_dtype="float32")
     log(f"backend: {jax.default_backend()}")
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))

@@ -107,13 +107,22 @@ def _restored_state(cfg: Config):
 
 def _serving_weights(cfg: Config):
     """(g_params, specseg_vars) from the inference bundle when configured,
-    else from the training checkpoint."""
+    else from the training checkpoint. A bundle's json header carries the
+    model hyperparameters the params were built with — it OVERRIDES cfg.model
+    so the serving graph always matches the weights."""
     if cfg.serve.weights_bundle:
+        import dataclasses
+
         from shmgan_tpu.checkpoint import load_inference_bundle
         g_params, specseg_vars, header = load_inference_bundle(
             cfg.serve.weights_bundle)
+        cfg.model = dataclasses.replace(
+            cfg.model, image_size=header["image_size"],
+            filter_size=header["filter_size"], c_dim=header["c_dim"],
+            specseg_base_filters=header["specseg_base_filters"])
         print(f"[serve] loaded bundle step {header['step']} "
-              f"({cfg.serve.weights_bundle})")
+              f"({cfg.serve.weights_bundle}); model config from header: "
+              f"{header}")
         return g_params, specseg_vars
     state = _restored_state(cfg)
     return state.g_params, state.specseg_vars

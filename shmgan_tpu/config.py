@@ -110,6 +110,10 @@ class TrainConfig:
     result_dir: str = "./results"
     log_dir: str = "./logs/train"
     checkpoint_max_to_keep: int = 3
+    # Per-epoch deterministic data shuffling (identical order on every host,
+    # derived from (seed, epoch)). Default False = reference parity: the
+    # reference iterates in fixed file order (ShmGANwithSSpecSeg.py:973-976).
+    shuffle: bool = False
     # Parity mode: scalar per-step Bernoulli channel dropout shared across the batch
     # (the reference semantics at batch=1).  When False, dropout is drawn per-sample,
     # which is the better-training generalization for batch>1.

@@ -81,8 +81,10 @@ class TripletDataset:
             self._img_files = list_images(img_dir)
             self._dif_files = list_images(dif_dir)
             mask_dir = os.path.join(root, "mask")
-            self._mask_files = list_images(mask_dir) if os.path.isdir(mask_dir) \
-                else None
+            # an existing-but-empty mask/ dir means "no mask source" too —
+            # fall back to residue-derived masks rather than indexing []
+            self._mask_files = (list_images(mask_dir) or None) \
+                if os.path.isdir(mask_dir) else None
             n = min(len(self._img_files), len(self._dif_files),
                     len(self._mask_files) if self._mask_files else 10 ** 9)
             self._img_files = self._img_files[:n]

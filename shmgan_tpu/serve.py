@@ -142,12 +142,16 @@ class BatchInferenceEngine:
                 if pending.get(f) == sig:
                     stable.append(f)
                 pending[f] = sig
-            if stable:
-                done = self._process_files(stable, out_dir, save_mask)
-                seen.update(done)
-                for f in done:
-                    pending.pop(f, None)
+            done = self._process_files(stable, out_dir, save_mask) if stable \
+                else []
+            seen.update(done)
+            for f in done:
+                pending.pop(f, None)
+            if done:
                 print(f"[serve] processed {len(done)} image(s)")
             else:
+                # nothing succeeded this round (idle, or only persistently
+                # undecodable files) — always back off so a corrupt file can't
+                # turn the daemon into a busy-spin
                 time.sleep(poll_s)
             it += 1

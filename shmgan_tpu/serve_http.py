@@ -111,8 +111,7 @@ class BatchingFrontend:
         self._lock = threading.Lock()
         self.device_calls = 0
 
-    def _collector(self, size: int, q: "queue.Queue"):
-        eng = self._pool.engine(size)
+    def _collector(self, size: int, eng, q: "queue.Queue"):
         while True:
             first = q.get()
             batch = [first]
@@ -144,9 +143,13 @@ class BatchingFrontend:
                 for item in batch:
                     item[1]["done"].set()
 
-    def submit(self, size: int, rgb: np.ndarray) -> Dict[str, np.ndarray]:
+    def submit(self, size: int, rgb: np.ndarray,
+               timeout_s: float = 600.0) -> Dict[str, np.ndarray]:
+        # build (or fetch) the engine in the REQUEST thread so pool-limit /
+        # compile errors surface as a normal HTTP error instead of killing the
+        # collector and stranding queued waiters
+        eng = self._pool.engine(size)
         if self._window_s <= 0:
-            eng = self._pool.engine(size)
             with self._pool.device_lock:
                 self.device_calls += 1
                 return eng.process_images(rgb)
@@ -154,11 +157,12 @@ class BatchingFrontend:
             q = self._queues.get(size)
             if q is None:
                 q = self._queues[size] = queue.Queue()
-                threading.Thread(target=self._collector, args=(size, q),
+                threading.Thread(target=self._collector, args=(size, eng, q),
                                  daemon=True).start()
         slot = {"done": threading.Event()}
         q.put((rgb, slot))
-        slot["done"].wait()
+        if not slot["done"].wait(timeout=timeout_s):
+            raise TimeoutError(f"inference timed out after {timeout_s}s")
         if "err" in slot:
             raise slot["err"]
         return slot["out"]
@@ -220,6 +224,12 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
             t0 = time.perf_counter()
             try:
                 size = int(q.get("size", [default_size])[0])
+                # SpecSeg's 4 pooling levels need size % 16 == 0; the upper
+                # bound stops one request from compiling an arbitrarily large
+                # graph / allocating GBs on the host
+                if not (16 <= size <= 2048 and size % 16 == 0):
+                    raise ValueError(
+                        f"size must be a multiple of 16 in [16, 2048], got {size}")
                 output = q.get("output", ["image"])[0]
                 if output not in ("image", "mask", "json"):
                     raise ValueError(f"output must be image|mask|json")

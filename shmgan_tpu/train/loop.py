@@ -145,11 +145,17 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         epoch_arr = jnp.asarray(epoch, jnp.int32)
-        # Deterministic shuffling keyed by epoch keeps every process on the same
-        # global order without cross-host coordination; each process decodes
-        # only its slice of each global batch (no-op at process_count=1).
+        # Every process walks the SAME global order — fixed file order by
+        # default (the reference never shuffles; it relies on channel-dropout
+        # randomness, ShmGANwithSSpecSeg.py:973-976). cfg.train.shuffle derives
+        # a per-epoch order from (seed, epoch), identical on every host with no
+        # coordination. Each process decodes only its slice of each global
+        # batch (no-op at process_count=1).
+        shuffle_seed = (cfg.train.seed * 100003 + epoch) if cfg.train.shuffle \
+            else None
         feed = DevicePrefetcher(
-            dataset.iter_epoch(process_index=jax.process_index(),
+            dataset.iter_epoch(shuffle_seed=shuffle_seed,
+                               process_index=jax.process_index(),
                                process_count=jax.process_count()),
             mesh=mesh, depth=cfg.data.prefetch,
             spatial=cfg.mesh.spatial_sharding)

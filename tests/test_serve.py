@@ -129,3 +129,35 @@ class TestProductOutput:
         monkeypatch.setattr(serve_mod.time, "sleep", grow)
         engine.watch_folder(in_dir, out_dir, poll_s=0.01, max_iterations=4)
         assert not os.path.exists(os.path.join(out_dir, "growing_specfree.png"))
+
+
+def test_watch_folder_corrupt_file_does_not_spin(tmp_path, monkeypatch):
+    """A persistently undecodable file must not disable the poll backoff
+    (ADVICE-round-2 busy-spin finding): with only a corrupt file present the
+    daemon sleeps every iteration."""
+    import dataclasses as dc
+
+    import jax
+
+    from shmgan_tpu.config import Config
+    from shmgan_tpu.serve import BatchInferenceEngine
+    from shmgan_tpu.train.state import create_train_state
+
+    cfg = Config()
+    cfg.model = dc.replace(cfg.model, image_size=16, filter_size=8,
+                           specseg_base_filters=4)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    eng = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                               batch_size=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "corrupt.png").write_bytes(b"not an image at all")
+
+    sleeps = []
+    monkeypatch.setattr("shmgan_tpu.serve.time.sleep",
+                        lambda s: sleeps.append(s))
+    eng.watch_folder(str(in_dir), str(tmp_path / "out"), poll_s=0.01,
+                     max_iterations=5)
+    # iterations 1.. see the stable-but-undecodable file; every one of them
+    # must back off instead of spinning
+    assert len(sleeps) == 5

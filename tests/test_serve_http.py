@@ -154,3 +154,11 @@ class TestBatchingWindow:
         # calls than requests
         assert calls_after - calls_before < 8
         assert calls_after - calls_before >= 2
+
+
+class TestRequestValidation:
+    def test_out_of_range_size_is_400(self, server):
+        for bad in ("17", "8", "4096", "-32"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(server + f"/v1/specfree?size={bad}", png_bytes())
+            assert exc.value.code == 400

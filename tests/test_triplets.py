@@ -110,3 +110,16 @@ class TestConsumers:
         new_state, metrics = step(state, y, m, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+def test_empty_mask_dir_falls_back_to_residue(tmp_path):
+    import os
+
+    root = str(tmp_path / "emptymask")
+    write_triplet_fixture_tree(root, 3, 24, seed=9, layout="folder",
+                               with_mask=False)
+    os.makedirs(os.path.join(root, "mask"))  # exists but empty
+    ds = TripletDataset(root, image_size=24, batch_size=3)
+    batch = next(ds.iter_epoch())
+    assert batch["mask"].shape == (3, 24, 24, 1)
+    assert batch["mask"].sum() > 0
