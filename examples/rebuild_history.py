@@ -34,7 +34,11 @@ def main(log_path: str, out_path: str):
             "beats_identity": m.group(8) == "BEATS",
         }
     history = [entries[s] for s in sorted(entries)]
-    best = max(history, key=lambda e: e["gen_psnr"]) if history else None
+    # "best" only among entries whose SSIM was computed post-fix (>= 40000)
+    # and that beat the identity baseline outright
+    candidates = [e for e in history
+                  if e["step"] >= 40000 and e["beats_identity"]] or history
+    best = max(candidates, key=lambda e: e["gen_psnr"]) if history else None
     with open(out_path, "w") as f:
         json.dump({"note": "rebuilt from the append-only training log; "
                            "entries before step 40000 predate the SSIM "
