@@ -143,6 +143,7 @@ def _other_tpu_clients() -> list:
     numbers (measured), so bench WAITS for them to exit before measuring."""
     import subprocess as sp
     me = str(os.getpid())
+    parent = str(os.getppid())  # e.g. a `timeout N python bench.py` wrapper
     try:
         out = sp.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
     except Exception:
@@ -167,7 +168,7 @@ def _other_tpu_clients() -> list:
                 and "pytest" not in line and "claude" not in line \
                 and "JAX_PLATFORMS=cpu" not in line:
             pid = line.split()[0]
-            if pid != me and not on_cpu_backend(pid):
+            if pid not in (me, parent) and not on_cpu_backend(pid):
                 pids.append(pid)
     return pids
 
@@ -219,6 +220,14 @@ def main():
     if t2:
         results["train_bf16_b16_images_per_sec"] = t2["images_per_sec"]
         results["train_bf16_b16_step_ms"] = t2["step_ms"]
+
+    # round-2 batch sweep found b24 the throughput sweet spot (b32 regresses:
+    # XLA's per-image HBM traffic grows and peak memory nearly doubles)
+    t3 = _run_section("train bf16 b24",
+                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=24))
+    if t3:
+        results["train_bf16_b24_images_per_sec"] = t3["images_per_sec"]
+        results["train_bf16_b24_step_ms"] = t3["step_ms"]
 
     inf1 = _run_section("infer b1", _INFER_SNIPPET.format(batch=1))
     if inf1:
