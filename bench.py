@@ -4,10 +4,11 @@ Prints ONE JSON line:
   {"metric": "train_step_images_per_sec", "value": N, "unit": "images/sec/chip",
    "vs_baseline": R, ...}
 
-Headline = the fused train step in bf16 compute (f32 params/losses) at batch 16 —
-the validated fast configuration: 200-step convergence trajectories match f32
-within noise (DESIGN.md §2/§6). Strict-parity f32 batch-8 and single-RGB inference
-(BASELINE configs 1-2) are reported in `detail`.
+Headline = the fused train step in bf16 compute (f32 params/losses) at batch 24 —
+the round-2 sweep's throughput sweet spot (DESIGN.md §6/§8; b32 regresses). bf16
+convergence is validated against f32 (200-step trajectories match within noise).
+Strict-parity f32 batch-8, bf16 batch-16, and single-RGB inference are reported
+in `detail`.
 
 Baseline note (BASELINE.md): the reference publishes NO numbers; its regime is an
 RTX-3070 running the whole 6-G/12-D-forward step EAGERLY at batch 1 with a host
@@ -32,7 +33,7 @@ import time
 
 REF_EAGER_IMG_PER_SEC = 2.0     # estimated reference throughput (see docstring)
 TARGET_MULTIPLIER = 5.0
-SECTION_TIMEOUT_S = 480
+SECTION_TIMEOUT_S = 600
 
 # Persistent XLA compilation cache: each section subprocess would otherwise pay a
 # full remote compile; with the cache, reruns (and later bench rounds) start hot.
@@ -143,7 +144,19 @@ def _other_tpu_clients() -> list:
     numbers (measured), so bench WAITS for them to exit before measuring."""
     import subprocess as sp
     me = str(os.getpid())
-    parent = str(os.getppid())  # e.g. a `timeout N python bench.py` wrapper
+    # exclude the whole ancestor chain: drivers wrap bench in shell/timeout
+    # layers whose command lines also contain "bench.py"
+    ancestors = set()
+    pid = os.getpid()
+    for _ in range(16):
+        ancestors.add(str(pid))
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split()[3])
+        except (OSError, ValueError, IndexError):
+            break
+        if pid <= 1:
+            break
     try:
         out = sp.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
     except Exception:
@@ -168,7 +181,7 @@ def _other_tpu_clients() -> list:
                 and "pytest" not in line and "claude" not in line \
                 and "JAX_PLATFORMS=cpu" not in line:
             pid = line.split()[0]
-            if pid not in (me, parent) and not on_cpu_backend(pid):
+            if pid not in ancestors and not on_cpu_backend(pid):
                 pids.append(pid)
     return pids
 
