@@ -276,7 +276,11 @@ def export_inference_bundle(state, cfg, path: str) -> None:
               "image_size": cfg.model.image_size,
               "filter_size": cfg.model.filter_size,
               "c_dim": cfg.model.c_dim,
-              "specseg_base_filters": cfg.model.specseg_base_filters}
+              "specseg_base_filters": cfg.model.specseg_base_filters,
+              # both upsample modes share one param-tree structure, so the
+              # bytes load either way — the header is what keeps the serving
+              # graph on the op the weights were trained for
+              "upsample_mode": cfg.model.upsample_mode}
     with open(path + ".json", "w") as f:
         json.dump(header, f, indent=1)
 
@@ -301,7 +305,8 @@ def load_inference_bundle(path: str):
     cfg.model = dataclasses.replace(
         cfg.model, image_size=header["image_size"],
         filter_size=header["filter_size"], c_dim=header["c_dim"],
-        specseg_base_filters=header["specseg_base_filters"])
+        specseg_base_filters=header["specseg_base_filters"],
+        upsample_mode=header.get("upsample_mode", "conv_transpose"))
     gen, _disc, specseg = build_models(cfg)
     h = w = cfg.model.image_size
     c = cfg.model.c_dim

@@ -119,7 +119,8 @@ def _serving_weights(cfg: Config):
         cfg.model = dataclasses.replace(
             cfg.model, image_size=header["image_size"],
             filter_size=header["filter_size"], c_dim=header["c_dim"],
-            specseg_base_filters=header["specseg_base_filters"])
+            specseg_base_filters=header["specseg_base_filters"],
+            upsample_mode=header.get("upsample_mode", "conv_transpose"))
         print(f"[serve] loaded bundle step {header['step']} "
               f"({cfg.serve.weights_bundle}); model config from header: "
               f"{header}")

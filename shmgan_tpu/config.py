@@ -75,6 +75,11 @@ class ModelConfig:
     # Use the fused Pallas instance-norm kernel (ops/pallas/instance_norm.py)
     # inside G and D. TPU-only; identical math (A/B benched, see DESIGN.md).
     use_pallas_instance_norm: bool = False
+    # Generator upsampling: "conv_transpose" = reference parity
+    # (ShmGANwithSSpecSeg.py:298-319); "resize_conv" = nearest-resize + Conv3x3
+    # (checkerboard-free, identical parameter count) — the round-3 quality lever
+    # for the residual ConvTranspose artifacts seen inside highlight regions.
+    upsample_mode: str = "conv_transpose"
 
 
 @dataclass
@@ -251,6 +256,8 @@ class Config:
         p.add_argument("--specseg_weights", type=str, default="specsegv3_chkpt.h5")
         p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
+        p.add_argument("--upsample_mode", type=str, default="conv_transpose",
+                       choices=["conv_transpose", "resize_conv"])
         p.add_argument("--seed", type=int, default=25)
         p.add_argument("--data_parallel", type=int, default=-1)
         p.add_argument("--model_parallel", type=int, default=1)
@@ -261,7 +268,8 @@ class Config:
         cfg.mode = a.mode
         cfg.model = dataclasses.replace(
             cfg.model, image_size=a.image_size, filter_size=a.filter_size,
-            c_dim=a.c_dim, d_repeat_num=a.d_repeat_num, compute_dtype=a.compute_dtype)
+            c_dim=a.c_dim, d_repeat_num=a.d_repeat_num,
+            compute_dtype=a.compute_dtype, upsample_mode=a.upsample_mode)
         cfg.train = dataclasses.replace(
             cfg.train, batch_size=a.batch_size, num_epochs=a.num_epochs,
             n_critic=a.n_critic, log_step=a.log_step,

@@ -166,6 +166,37 @@ class ConvTransposeUp(nn.Module):
         return leaky_relu(x, self.slope)
 
 
+class ResizeConvUp(nn.Module):
+    """Nearest-resize 2x + Conv3x3 + leaky_relu — the checkerboard-free
+    alternative to ConvTransposeUp (Odena et al., "Deconvolution and
+    Checkerboard Artifacts", distill.pub/2016/deconv-checkerboard).
+
+    The round-2 quality run showed residual ConvTranspose checkerboard inside
+    reconstructed highlight regions; this block is the documented
+    intent-over-accident alternative (model.upsample_mode="resize_conv",
+    default stays "conv_transpose" = reference parity,
+    ShmGANwithSSpecSeg.py:298-319). Parameter count is identical to the
+    transposed conv (3x3xCinxCout + Cout), so the conv-core parity goldens
+    hold under either mode.
+
+    The inner conv is deliberately named "convt" (same as ConvTransposeUp's
+    transposed conv): kernel shapes match (3,3,Cin,Cout), so the two modes
+    share one param-tree structure and checkpoints are interchangeable — a
+    conv_transpose-trained checkpoint can warm-start a resize_conv fine-tune.
+    """
+    features: int
+    dtype: Dtype = jnp.float32
+    slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=w_init(),
+                    dtype=self.dtype, param_dtype=jnp.float32, name="convt")(x)
+        return leaky_relu(x, self.slope)
+
+
 class SAGANAttention(nn.Module):
     """SAGAN-style spatial self-attention (ShmGANwithSSpecSeg.py:417-450).
 

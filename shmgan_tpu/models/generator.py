@@ -27,8 +27,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from shmgan_tpu.models.blocks import (
-    ConvIN, ConvTransposeUp, InstanceNorm, MaskAttention, avg_pool_2x2, leaky_relu,
-    w_init,
+    ConvIN, ConvTransposeUp, InstanceNorm, MaskAttention, ResizeConvUp,
+    avg_pool_2x2, leaky_relu, w_init,
 )
 
 
@@ -40,6 +40,9 @@ class SHMGenerator(nn.Module):
     instance_norm_eps: float = 1e-6
     slope: float = 0.2
     in_pallas: bool = False
+    # "conv_transpose" = reference parity (ShmGANwithSSpecSeg.py:298-319);
+    # "resize_conv" = checkerboard-free alternative (same param count)
+    upsample_mode: str = "conv_transpose"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -64,9 +67,11 @@ class SHMGenerator(nn.Module):
             x = ConvIN(nb, kernel=1, eps=self.instance_norm_eps,
                        name=f"bottleneck_{i}", **kw)(x)
 
+        up_block = ResizeConvUp if self.upsample_mode == "resize_conv" \
+            else ConvTransposeUp
         for ulvl in range(self.levels):
             feats = n * (2 ** (self.levels - 1 - ulvl))  # 512, 256, 128, 64
-            x = ConvTransposeUp(feats, name=f"up{ulvl}_t", dtype=self.dtype, slope=self.slope)(x)
+            x = up_block(feats, name=f"up{ulvl}_t", dtype=self.dtype, slope=self.slope)(x)
             x = jnp.concatenate([x, skips[self.levels - 1 - ulvl]], axis=-1)
             x = ConvIN(feats, eps=self.instance_norm_eps, name=f"up{ulvl}_0", **kw)(x)
             x = ConvIN(feats, eps=self.instance_norm_eps, name=f"up{ulvl}_1", **kw)(x)

@@ -59,7 +59,8 @@ def build_models(cfg: Config):
     gen = SHMGenerator(filter_size=cfg.model.filter_size, c_dim=cfg.model.c_dim,
                        dtype=dtype, instance_norm_eps=cfg.model.instance_norm_eps,
                        slope=cfg.model.leaky_relu_slope,
-                       in_pallas=cfg.model.use_pallas_instance_norm)
+                       in_pallas=cfg.model.use_pallas_instance_norm,
+                       upsample_mode=cfg.model.upsample_mode)
     disc = SHMDiscriminator(filter_size=cfg.model.filter_size, c_dim=cfg.model.c_dim,
                             dtype=dtype, instance_norm_eps=cfg.model.instance_norm_eps,
                             slope=cfg.model.leaky_relu_slope,

@@ -215,6 +215,32 @@ class TestInferenceBundle:
                                    np.asarray(b["gen_rgb_calibrated"]),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_header_carries_upsample_mode(self, tmp_path):
+        """A resize_conv bundle must reconstruct a resize_conv graph — the two
+        modes share one param-tree structure, so only the header keeps the
+        serving graph on the op the weights were trained for."""
+        import dataclasses
+        import json
+
+        from shmgan_tpu.checkpoint import (export_inference_bundle,
+                                           load_inference_bundle)
+
+        cfg = small_config()
+        cfg.model = dataclasses.replace(cfg.model, upsample_mode="resize_conv")
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        path = str(tmp_path / "bundle_rc.msgpack")
+        export_inference_bundle(state, cfg, path)
+        with open(path + ".json") as f:
+            assert json.load(f)["upsample_mode"] == "resize_conv"
+        _, _, header = load_inference_bundle(path)
+        assert header["upsample_mode"] == "resize_conv"
+        # old bundles without the key default to reference parity
+        hdr = json.load(open(path + ".json"))
+        del hdr["upsample_mode"]
+        json.dump(hdr, open(path + ".json", "w"))
+        _, _, header = load_inference_bundle(path)
+        assert header.get("upsample_mode", "conv_transpose") == "conv_transpose"
+
     def test_bundle_smaller_than_checkpoint_state(self, tmp_path):
         from shmgan_tpu.checkpoint import export_inference_bundle
 
