@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--filter_size", type=int, default=64)
     p.add_argument("--specseg_base_filters", type=int, default=16)
+    p.add_argument("--upsample_mode", choices=["conv_transpose", "resize_conv"],
+                   default="conv_transpose",
+                   help="must match the mode the checkpoint was trained with "
+                        "(the two modes share one param-tree structure, so a "
+                        "mismatch restores silently but evaluates the wrong op)")
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=999,
                    help="held-out scene seed (never used in training)")
@@ -74,7 +79,8 @@ def main(argv=None):
     cfg = Config()
     cfg.model = dataclasses.replace(
         cfg.model, image_size=a.image_size, filter_size=a.filter_size,
-        specseg_base_filters=a.specseg_base_filters, compute_dtype="float32")
+        specseg_base_filters=a.specseg_base_filters, compute_dtype="float32",
+        upsample_mode=a.upsample_mode)
     log(f"backend: {jax.default_backend()}")
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
