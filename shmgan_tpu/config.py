@@ -150,6 +150,15 @@ class TrainConfig:
     # Auto-restore the latest checkpoint on train start (reference restores whenever
     # delete_old_checkpoints is False, ShmGANwithSSpecSeg.py:949-951)
     auto_resume: bool = True
+    # Rematerialization of the heavy model passes inside the fused step.
+    # "none" = store-everything (XLA default). "models" = jax.checkpoint around
+    # each gradient-carrying model forward (live D, cyclic G, frozen D, and G1
+    # when live_g1): the backward pass recomputes those forwards instead of
+    # round-tripping their activations through HBM. The step is HBM-bandwidth
+    # bound with ~2.6x MXU headroom (DESIGN.md roofline), so recompute FLOPs are
+    # free where the saved traffic isn't. Numerics are exactly preserved
+    # (tests/test_remat.py).
+    remat: str = "none"
 
 
 @dataclass
@@ -258,6 +267,10 @@ class Config:
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
                        choices=["conv_transpose", "resize_conv"])
+        p.add_argument("--remat", type=str, default="none",
+                       choices=["none", "models"],
+                       help="rematerialize heavy model forwards in the train "
+                            "step backward (HBM-traffic vs recompute trade)")
         p.add_argument("--seed", type=int, default=25)
         p.add_argument("--data_parallel", type=int, default=-1)
         p.add_argument("--model_parallel", type=int, default=1)
@@ -278,7 +291,7 @@ class Config:
             num_iteration=a.num_iteration, seed=a.seed,
             delete_old_checkpoints=a.delete_old_checkpoints,
             checkpoint_save_dir=a.checkpoint_save_dir, model_save_dir=a.model_save_dir,
-            result_dir=a.result_dir, log_dir=a.log_dir)
+            result_dir=a.result_dir, log_dir=a.log_dir, remat=a.remat)
         cfg.data = dataclasses.replace(
             cfg.data, data_dir=a.data_dir, test_dir=a.test_dir,
             diffuse_dir=a.diffuse_dir, est_diffuse=a.est_diffuse, flip=a.flip,

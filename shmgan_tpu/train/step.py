@@ -92,6 +92,23 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
     single_input_prob = cfg.train.single_input_prob
     consistent_domains = cfg.train.consistent_domains
 
+    # Rematerialized model forwards (config.py TrainConfig.remat): under
+    # jax.checkpoint the backward pass re-runs each forward instead of storing
+    # its ~50 intermediate activation tensors to HBM. The step is HBM-bound
+    # with idle MXU (DESIGN.md roofline), so this converts the bottleneck
+    # resource into the idle one. Numerics are unchanged — the same ops run in
+    # the same order (tests/test_remat.py asserts step-for-step equality).
+    if cfg.train.remat not in ("none", "models"):
+        raise ValueError(f"train.remat must be 'none' or 'models', "
+                         f"got {cfg.train.remat!r}")
+    _remat = jax.checkpoint if cfg.train.remat == "models" else (lambda f: f)
+    gen_fwd = _remat(lambda p, x, m: gen.apply({"params": p}, x, m))
+    d_live_fwd = _remat(
+        lambda p, x, m, kn, kd: disc.apply({"params": p}, x, m, train=True,
+                                           rngs={"noise": kn, "dropout": kd}))
+    d_frozen_fwd = _remat(
+        lambda p, x, m: disc.apply({"params": p}, x, m, train=False))
+
     def step_fn(state: TrainState, views: jnp.ndarray, rng: jax.Array,
                 epoch: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """views: (V, B, H, W, 3) raw RGB in [0,1], V == c_dim (I0,I45,I90,I135,ED)."""
@@ -151,7 +168,7 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             d_params_stop = jax.tree_util.tree_map(lax.stop_gradient, d_params)
 
             g1_params = g_params if live_g1 else g_params_stop
-            gen_y = gen.apply({"params": g1_params}, gen_input, mask)
+            gen_y = gen_fwd(g1_params, gen_input, mask)
             gen_yuv = jnp.concatenate([gen_y, avg_cbcr], axis=-1)
             gen_rgb = yuv_to_rgb(gen_yuv)
 
@@ -159,9 +176,8 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             # -> GaussianNoise + Dropout active)
             live_in = jnp.concatenate([gen_rgb, views_cmp[v - 1]], axis=0)  # (2B,...)
             live_mask = jnp.concatenate([mask, mask], axis=0)
-            rf_live, lbl_live = disc.apply(
-                {"params": d_params}, live_in, live_mask, train=True,
-                rngs={"noise": k_noise, "dropout": k_dropout})
+            rf_live, lbl_live = d_live_fwd(d_params, live_in, live_mask,
+                                           k_noise, k_dropout)
             rf_gen, rf_target = rf_live[:b], rf_live[b:]
             lbl_gen = lbl_live[:b]
 
@@ -181,7 +197,7 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             mask_v = jnp.tile(mask, (v, 1, 1, 1))
 
             # ---- ONE live G forward over all cyclic targets (:603-607)
-            cyc_y = gen.apply({"params": g_params}, cyc_stack, mask_v)     # (VB,H,W,1)
+            cyc_y = gen_fwd(g_params, cyc_stack, mask_v)                   # (VB,H,W,1)
             cyc_y = cyc_y.reshape(v, b, h, w, 1)
             cyc_yuv = jnp.concatenate(
                 [cyc_y, jnp.broadcast_to(avg_cbcr, (v, b, h, w, 2))], axis=-1)
@@ -199,8 +215,8 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
                 n_frozen_masks += 1
             frozen_in = jnp.concatenate(frozen_parts, axis=0)
             frozen_mask = jnp.tile(mask, (n_frozen_masks, 1, 1, 1))
-            rf_frozen, lbl_frozen = disc.apply(
-                {"params": d_params_stop}, frozen_in, frozen_mask, train=False)
+            rf_frozen, lbl_frozen = d_frozen_fwd(d_params_stop, frozen_in,
+                                                 frozen_mask)
             rf_cyc = rf_frozen[: v * b].reshape(v, b, *rf_frozen.shape[1:])
             rf_orig = rf_frozen[v * b: 2 * v * b].reshape(v, b, *rf_frozen.shape[1:])
             lbl_cyc = lbl_frozen[: v * b].reshape(v, b, c_dim)
