@@ -56,7 +56,7 @@ from shmgan_tpu.train.step import make_train_step
 dtype, batch, iters, warmup = {dtype!r}, {batch}, 20, 3
 cfg = Config()
 cfg.model = dataclasses.replace(cfg.model, compute_dtype=dtype)
-cfg.train = dataclasses.replace(cfg.train, batch_size=batch)
+cfg.train = dataclasses.replace(cfg.train, batch_size=batch, remat={remat!r})
 state = create_train_state(cfg, jax.random.PRNGKey(0))
 step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 views = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=0))
@@ -223,13 +223,13 @@ def main():
     if not exclusive:
         results["contended"] = 1.0
 
-    t = _run_section("train f32 b8", _TRAIN_SNIPPET.format(dtype="float32", batch=8))
+    t = _run_section("train f32 b8", _TRAIN_SNIPPET.format(dtype="float32", batch=8, remat="none"))
     if t:
         results["train_f32_b8_images_per_sec"] = t["images_per_sec"]
         results["train_f32_b8_step_ms"] = t["step_ms"]
 
     t2 = _run_section("train bf16 b16",
-                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=16))
+                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=16, remat="none"))
     if t2:
         results["train_bf16_b16_images_per_sec"] = t2["images_per_sec"]
         results["train_bf16_b16_step_ms"] = t2["step_ms"]
@@ -237,7 +237,7 @@ def main():
     # round-2 batch sweep found b24 the throughput sweet spot (b32 regresses:
     # XLA's per-image HBM traffic grows and peak memory nearly doubles)
     t3 = _run_section("train bf16 b24",
-                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=24))
+                      _TRAIN_SNIPPET.format(dtype="bfloat16", batch=24, remat="none"))
     if t3:
         results["train_bf16_b24_images_per_sec"] = t3["images_per_sec"]
         results["train_bf16_b24_step_ms"] = t3["step_ms"]

@@ -1,0 +1,63 @@
+"""Train-step throughput sweep over (dtype, batch, remat) on the real TPU.
+
+Reuses bench.py's subprocess isolation, contention gate, and timing snippet so
+numbers here are directly comparable to BENCH_r*.json. One variant at a time —
+ONE TPU client rule (CLAUDE.md).
+
+Usage:
+  python examples/perf_sweep.py --out benchmarks/perf_sweep.json \
+      --variants bf16:24:none bf16:24:models bf16:32:models bf16:48:models
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root module)
+
+_DTYPES = {"f32": "float32", "bf16": "bfloat16"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--variants", nargs="+",
+                   default=["bf16:24:none", "bf16:24:models",
+                            "bf16:32:models", "bf16:48:models"],
+                   help="dtype:batch:remat triples (dtype in f32|bf16)")
+    p.add_argument("--out", default="benchmarks/perf_sweep.json")
+    a = p.parse_args(argv)
+
+    if not bench._wait_for_exclusive():
+        print("[sweep] another TPU client is live; aborting", file=sys.stderr)
+        return 1
+
+    rows = []
+    for v in a.variants:
+        dt, batch, remat = v.split(":")
+        code = bench._TRAIN_SNIPPET.format(
+            dtype=_DTYPES[dt], batch=int(batch), remat=remat)
+        r = bench._run_section(f"train {v}", code)
+        rows.append({"variant": v, "dtype": _DTYPES[dt], "batch": int(batch),
+                     "remat": remat,
+                     "images_per_sec": round(r["images_per_sec"], 2) if r else None,
+                     "step_ms": round(r["step_ms"], 2) if r else None})
+
+    print(f"{'variant':>18} {'img/s':>9} {'step_ms':>9}")
+    for r in rows:
+        print(f"{r['variant']:>18} {r['images_per_sec'] or float('nan'):>9} "
+              f"{r['step_ms'] or float('nan'):>9}")
+    if a.out:
+        os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+        with open(a.out, "w") as f:
+            json.dump({"rows": rows}, f, indent=1)
+        print(f"-> {a.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
