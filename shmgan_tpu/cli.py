@@ -148,7 +148,8 @@ def run_serve(cfg: Config):
         serve_forever(cfg, g_params, specseg_vars,
                       host=cfg.serve.host, port=cfg.serve.port,
                       batch_size=cfg.serve.batch_size,
-                      batch_window_ms=cfg.serve.batch_window_ms)
+                      batch_window_ms=cfg.serve.batch_window_ms,
+                      warm_sizes=cfg.serve.warm_sizes)
 
 
 def run_export(cfg: Config):

@@ -212,6 +212,9 @@ class ServeConfig:
     # >0 enables the HTTP request-batching window: concurrent requests of one
     # size aggregate into single device calls (bounded by serve batch_size)
     batch_window_ms: float = 0.0
+    # image sizes to precompile engines for before accepting traffic
+    # (--serve_warm_sizes "128,256"); empty = lazy compile on first request
+    warm_sizes: tuple = ()
 
 
 @dataclass
@@ -238,6 +241,9 @@ class Config:
         p.add_argument("--serve_watch_dir", type=str, default="")
         p.add_argument("--serve_weights_bundle", type=str, default="")
         p.add_argument("--serve_batch_window_ms", type=float, default=0.0)
+        p.add_argument("--serve_warm_sizes", type=str, default="",
+                       help="comma-separated image sizes to precompile "
+                            "serving engines for at startup")
         p.add_argument("--calc_metrics", type=_strtobool, default=False)
         p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
         p.add_argument("--image_size", type=int, default=128)
@@ -304,7 +310,9 @@ class Config:
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,
             weights_bundle=a.serve_weights_bundle,
-            batch_window_ms=a.serve_batch_window_ms)
+            batch_window_ms=a.serve_batch_window_ms,
+            warm_sizes=tuple(int(s) for s in a.serve_warm_sizes.split(",")
+                             if s.strip()))
         return cfg
 
     def describe(self) -> str:

@@ -39,6 +39,14 @@ class BatchInferenceEngine:
         self._specseg_vars = jax.device_put(specseg_vars)
         self._io = ThreadPoolExecutor(max_workers=num_io_workers)
 
+    def warmup(self) -> None:
+        """Force-compile the inference graph with a dummy batch so the first
+        real request doesn't pay the XLA compile (20-40s over this rig's
+        relay). Idempotent — the jit cache makes repeat calls free."""
+        dummy = np.zeros((self.batch_size, self.image_size, self.image_size, 3),
+                         np.float32)
+        self.process_images(dummy)
+
     # -- core ---------------------------------------------------------------
 
     def process_images(self, rgb: np.ndarray) -> Dict[str, np.ndarray]:

@@ -76,6 +76,15 @@ class EnginePool:
                 self._engines[size] = eng
         return eng
 
+    def warm(self, sizes) -> None:
+        """Prefork-style warm start: build and force-compile one engine per
+        size BEFORE the server accepts traffic, so no request ever pays an
+        XLA compile. Serialized behind device_lock like live traffic."""
+        for size in sizes:
+            eng = self.engine(int(size))
+            with self.device_lock:
+                eng.warmup()
+
 
 def _decode_request_image(body: bytes, size: int) -> np.ndarray:
     from PIL import Image
@@ -170,11 +179,16 @@ class BatchingFrontend:
 
 def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                 port: int = 0, batch_size: int = 1,
-                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
+                batch_window_ms: float = 0.0,
+                warm_sizes=()) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server. port=0 binds an ephemeral port
     (server.server_address[1] reports it). batch_window_ms > 0 enables the
-    request-batching window (engine batch_size bounds each aggregated call)."""
+    request-batching window (engine batch_size bounds each aggregated call).
+    warm_sizes precompiles one engine per listed image size before the server
+    is returned (no request pays a compile)."""
     pool = EnginePool(cfg, g_params, specseg_vars, batch_size=batch_size)
+    if warm_sizes:
+        pool.warm(warm_sizes)
     frontend = BatchingFrontend(pool, batch_window_ms / 1e3, batch_size)
     stats = {"requests": 0, "images": 0, "errors": 0, "latency_ema_ms": 0.0}
     stats_lock = threading.Lock()
@@ -278,8 +292,8 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
 
 def serve_forever(cfg: Config, g_params, specseg_vars, host: str = "0.0.0.0",
                   port: int = 8000, batch_size: int = 1,
-                  batch_window_ms: float = 0.0):
+                  batch_window_ms: float = 0.0, warm_sizes=()):
     srv = make_server(cfg, g_params, specseg_vars, host, port, batch_size,
-                      batch_window_ms=batch_window_ms)
+                      batch_window_ms=batch_window_ms, warm_sizes=warm_sizes)
     print(f"[serve_http] listening on {srv.server_address}")
     srv.serve_forever()

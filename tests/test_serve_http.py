@@ -162,3 +162,31 @@ class TestRequestValidation:
             with pytest.raises(urllib.error.HTTPError) as exc:
                 _post(server + f"/v1/specfree?size={bad}", png_bytes())
             assert exc.value.code == 400
+
+
+class TestWarmStart:
+    def test_warm_sizes_precompile(self):
+        """warm_sizes engines exist (and are compiled) before any request."""
+        cfg = tiny_cfg()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        srv = make_server(cfg, state.g_params, state.specseg_vars,
+                          warm_sizes=(32,))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+                payload = json.loads(r.read())
+            assert payload["compiled_sizes"] == [32]
+            # the warmed engine serves a real request
+            with _post(url + "/v1/specfree?size=32", png_bytes()) as r:
+                assert r.status == 200
+        finally:
+            srv.shutdown()
+
+    def test_warm_sizes_cli_parsing(self):
+        cfg = Config.from_args(["--mode", "serve",
+                                "--serve_warm_sizes", "128, 256"])
+        assert cfg.serve.warm_sizes == (128, 256)
+        cfg = Config.from_args(["--mode", "serve"])
+        assert cfg.serve.warm_sizes == ()
