@@ -32,6 +32,7 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("--remat", choices=["none", "models"], default="none")
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--out", type=str, default="benchmarks/trace_r2")
     p.add_argument("--xprof", action="store_true",
@@ -50,7 +51,8 @@ def main(argv=None):
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, image_size=a.image_size,
                                     compute_dtype=a.dtype)
-    cfg.train = dataclasses.replace(cfg.train, batch_size=a.batch)
+    cfg.train = dataclasses.replace(cfg.train, batch_size=a.batch,
+                                    remat=a.remat)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = make_train_step(cfg)

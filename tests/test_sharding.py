@@ -137,3 +137,29 @@ class TestSpatialSharding:
         params = {"k": jnp.zeros((3, 3, 256, 512))}
         sh = param_shardings(params, mesh, spatial=True)
         assert sh["k"].spec == jax.sharding.PartitionSpec()
+
+
+class TestRematSharding:
+    def test_dp8_remat_matches_single_device(self):
+        """remat composes with SPMD: jax.checkpoint regions partition like any
+        other region, so the sharded rematerialized step must equal the
+        unsharded one (same batch, same rng)."""
+        cfg = small_config(dp=8, mp=1)
+        cfg.train = dataclasses.replace(cfg.train, remat="models")
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        views = jax.random.uniform(jax.random.PRNGKey(1), (5, 8, 32, 32, 3))
+        step = jax.jit(make_train_step(cfg), donate_argnums=())
+
+        _, m_single = step(state, views, jax.random.PRNGKey(2),
+                           jnp.zeros((), jnp.int32))
+
+        mesh = make_mesh(cfg)
+        state_sh = shard_train_state(state, mesh)
+        views_sh = shard_batch(views, mesh)
+        _, m_shard = step(state_sh, views_sh, jax.random.PRNGKey(2),
+                          jnp.zeros((), jnp.int32))
+
+        np.testing.assert_allclose(float(m_single["total_G"]),
+                                   float(m_shard["total_G"]), rtol=2e-4)
+        np.testing.assert_allclose(float(m_single["total_D"]),
+                                   float(m_shard["total_D"]), rtol=2e-4)
