@@ -323,3 +323,28 @@ def load_inference_bundle(path: str):
     with open(path, "rb") as f:
         loaded = flax.serialization.from_bytes(template, f.read())
     return loaded["g_params"], loaded["specseg_vars"], header
+
+
+def transfer_matching_params(dst_tree, src_tree):
+    """Copy every leaf of src_tree into dst_tree where the tree path exists in
+    both with identical shape and dtype; keep dst's leaf elsewhere.
+
+    Used for resolution warm starts: the fully-convolutional params (all of G
+    and SpecSeg, all of D except its Flatten->Dense class head) are size-
+    agnostic and transfer leaf-for-leaf across image sizes. Returns
+    (merged_tree, kept_count, fresh_count).
+    """
+    import jax
+
+    counts = {"kept": 0, "fresh": 0}
+
+    def pick(new, old):
+        if getattr(new, "shape", None) == getattr(old, "shape", None) \
+                and getattr(new, "dtype", None) == getattr(old, "dtype", None):
+            counts["kept"] += 1
+            return old
+        counts["fresh"] += 1
+        return new
+
+    merged = jax.tree_util.tree_map(pick, dst_tree, src_tree)
+    return merged, counts["kept"], counts["fresh"]
