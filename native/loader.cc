@@ -24,6 +24,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 struct Image {
@@ -194,9 +196,73 @@ void ResizeNormalize(const Image& src, int out_h, int out_w, float* dst) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// PNG encode (zlib deflate; filter 0 rows). The serving host is often a
+// single core and PIL's encoder sits on the per-request critical path
+// (serve_http.py::_png_bytes); this is the native replacement — the rebuilt
+// analogue of the image IO the reference delegates to TF's C++ runtime.
+// ---------------------------------------------------------------------------
+
+void PutBE32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(x >> 24); v.push_back(x >> 16); v.push_back(x >> 8); v.push_back(x);
+}
+
+void PutChunk(std::vector<uint8_t>& v, const char type[4],
+              const uint8_t* data, size_t len) {
+  PutBE32(v, static_cast<uint32_t>(len));
+  size_t start = v.size();
+  v.insert(v.end(), type, type + 4);
+  if (len) v.insert(v.end(), data, data + len);
+  uint32_t crc = crc32(0L, v.data() + start, static_cast<uInt>(len + 4));
+  PutBE32(v, crc);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Encode an (h, w, c) uint8 image (c == 1 or 3) as PNG into `out`.
+// Returns bytes written, or -1 if out_cap is too small / inputs invalid.
+// level: zlib compression level (1 = fast, serving default; 6 = zlib default).
+int64_t shmgan_encode_png(const uint8_t* img, int h, int w, int c, int level,
+                          uint8_t* out, int64_t out_cap) {
+  if (!img || !out || h <= 0 || w <= 0 || (c != 1 && c != 3)) return -1;
+  // raw stream: one filter byte (0) + row bytes, per scanline
+  const size_t row = static_cast<size_t>(w) * c;
+  std::vector<uint8_t> raw((row + 1) * h);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* dst = raw.data() + static_cast<size_t>(y) * (row + 1);
+    dst[0] = 0;  // filter type none
+    std::memcpy(dst + 1, img + static_cast<size_t>(y) * row, row);
+  }
+  uLongf zcap = compressBound(static_cast<uLong>(raw.size()));
+  std::vector<uint8_t> z(zcap);
+  if (compress2(z.data(), &zcap, raw.data(), static_cast<uLong>(raw.size()),
+                level) != Z_OK) {
+    return -1;
+  }
+
+  std::vector<uint8_t> png;
+  png.reserve(zcap + 128);
+  static const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  png.insert(png.end(), kSig, kSig + 8);
+  uint8_t ihdr[13];
+  // width, height big-endian
+  ihdr[0] = static_cast<uint8_t>(w >> 24); ihdr[1] = static_cast<uint8_t>(w >> 16);
+  ihdr[2] = static_cast<uint8_t>(w >> 8);  ihdr[3] = static_cast<uint8_t>(w);
+  ihdr[4] = static_cast<uint8_t>(h >> 24); ihdr[5] = static_cast<uint8_t>(h >> 16);
+  ihdr[6] = static_cast<uint8_t>(h >> 8);  ihdr[7] = static_cast<uint8_t>(h);
+  ihdr[8] = 8;                      // bit depth
+  ihdr[9] = (c == 3) ? 2 : 0;       // color type: truecolor / grayscale
+  ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;  // deflate, adaptive, no interlace
+  PutChunk(png, "IHDR", ihdr, sizeof(ihdr));
+  PutChunk(png, "IDAT", z.data(), zcap);
+  PutChunk(png, "IEND", nullptr, 0);
+
+  if (static_cast<int64_t>(png.size()) > out_cap) return -1;
+  std::memcpy(out, png.data(), png.size());
+  return static_cast<int64_t>(png.size());
+}
 
 // Decode `n` files into a preallocated (n, out_h, out_w, 3) float32 buffer.
 // Returns the number of successfully decoded images; failures leave zeros and

@@ -56,6 +56,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "shmgan_encode_png"):  # older prebuilt .so may lack it
+        lib.shmgan_encode_png.restype = ctypes.c_int64
+        lib.shmgan_encode_png.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
     _lib = lib
     return lib
 
@@ -97,6 +104,31 @@ def resize_normalize(img_u8: np.ndarray, image_size: int) -> np.ndarray:
         image_size, image_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def encode_png(img_u8: np.ndarray, level: int = 1) -> bytes:
+    """Encode an (H, W) or (H, W, 1|3) uint8 image as PNG natively.
+
+    Serving hot path: PIL's encoder sits on the per-request critical path of
+    serve_http.py on a single-core host; the native encoder (filter-0 rows +
+    one zlib deflate) is the rebuilt analogue of the image IO the reference
+    delegates to TF's C++ runtime. level=1 is the fast serving default."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "shmgan_encode_png"):
+        raise RuntimeError("native library unavailable")
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    if img_u8.ndim == 2:
+        img_u8 = img_u8[..., None]
+    h, w, c = img_u8.shape
+    raw = (w * c + 1) * h
+    cap = raw + raw // 1000 + 1024  # zlib worst case + chunk overhead
+    out = np.empty((cap,), np.uint8)
+    n = lib.shmgan_encode_png(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        int(level), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"native PNG encode failed (h={h} w={w} c={c})")
+    return out[:n].tobytes()
 
 
 def estimate_diffuse_native(views: np.ndarray) -> np.ndarray:

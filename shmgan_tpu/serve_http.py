@@ -97,11 +97,18 @@ def _decode_request_image(body: bytes, size: int) -> np.ndarray:
 
 
 def _png_bytes(arr01: np.ndarray) -> bytes:
+    u8 = (np.clip(arr01, 0, 1) * 255).astype(np.uint8)
+    try:  # native encoder (zlib level 1) — off the PIL critical path
+        from shmgan_tpu.runtime import native_loader
+
+        if native_loader.native_available():
+            return native_loader.encode_png(u8, level=1)
+    except Exception:
+        pass  # portable fallback below
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray((np.clip(arr01, 0, 1) * 255).astype(np.uint8)).save(
-        buf, format="PNG")
+    Image.fromarray(u8).save(buf, format="PNG")
     return buf.getvalue()
 
 

@@ -140,6 +140,58 @@ class TestNativeDecode:
         assert ok[0] == 0
 
 
+class TestNativePngEncode:
+    """Native PNG encoder (serving hot path — serve_http._png_bytes)."""
+
+    def test_rgb_roundtrip_via_pil(self):
+        from PIL import Image
+        import io
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+        data = nl.encode_png(img)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
+    def test_grayscale_and_2d_roundtrip(self):
+        from PIL import Image
+        import io
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (16, 16), np.uint8)
+        for arr in (img, img[..., None]):
+            data = nl.encode_png(arr)
+            back = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+            np.testing.assert_array_equal(back, img)
+
+    def test_levels_change_size_not_content(self):
+        from PIL import Image
+        import io
+
+        # gradient compresses well: higher level should not be larger by much,
+        # and both must decode to identical pixels
+        img = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (64, 1, 3))
+        fast = nl.encode_png(img, level=1)
+        best = nl.encode_png(img, level=9)
+        a = np.asarray(Image.open(io.BytesIO(fast)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(best)).convert("RGB"))
+        np.testing.assert_array_equal(a, img)
+        np.testing.assert_array_equal(b, img)
+        assert len(best) <= len(fast)
+
+    def test_serve_http_png_bytes_uses_it(self):
+        from PIL import Image
+        import io
+
+        from shmgan_tpu.serve_http import _png_bytes
+
+        arr01 = np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+        data = _png_bytes(arr01)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(
+            back, (np.clip(arr01, 0, 1) * 255).astype(np.uint8))
+
+
 class TestNativeIngestWiring:
     """The product data path (data/loader.py) must route supported formats
     through the native decoder (VERDICT r1 weak #5: wired in, not a dead limb)."""
