@@ -242,6 +242,17 @@ def main():
         results["train_bf16_b24_images_per_sec"] = t3["images_per_sec"]
         results["train_bf16_b24_step_ms"] = t3["step_ms"]
 
+    # remat=models recomputes the heavy model forwards in the backward instead
+    # of storing activations — trades idle MXU FLOPs for HBM traffic (the
+    # bound resource; DESIGN.md roofline) and frees memory for larger batches.
+    # Numerics identical (tests/test_remat.py). Headline takes the max.
+    t4 = _run_section(
+        "train bf16 b32 remat",
+        _TRAIN_SNIPPET.format(dtype="bfloat16", batch=32, remat="models"))
+    if t4:
+        results["train_bf16_b32_remat_images_per_sec"] = t4["images_per_sec"]
+        results["train_bf16_b32_remat_step_ms"] = t4["step_ms"]
+
     inf1 = _run_section("infer b1", _INFER_SNIPPET.format(batch=1))
     if inf1:
         results["infer_b1_images_per_sec"] = inf1["images_per_sec"]
@@ -263,7 +274,7 @@ def main():
         "detail": {k: round(v, 3) for k, v in results.items()},
         "baseline_note": "reference eager RTX-3070 est. 2 img/s; vs_baseline is "
                          "headline / (2 img/s * 5x target); headline is the best "
-                         "validated train config (bf16 b16 or f32 b8)",
+                         "validated train config (bf16 b24/b32-remat, b16, or f32 b8)",
     }))
 
 
