@@ -50,6 +50,10 @@ def main(argv=None):
                    help="must match the mode the checkpoint was trained with "
                         "(the two modes share one param-tree structure, so a "
                         "mismatch restores silently but evaluates the wrong op)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA generator tree saved by a --g_ema "
+                        "training run (falls back to raw params if the "
+                        "checkpoint predates EMA)")
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=999,
                    help="held-out scene seed (never used in training)")
@@ -81,6 +85,10 @@ def main(argv=None):
         cfg.model, image_size=a.image_size, filter_size=a.filter_size,
         specseg_base_filters=a.specseg_base_filters, compute_dtype="float32",
         upsample_mode=a.upsample_mode)
+    if a.use_ema:
+        # template needs the EMA slot for restore to pick it up (restore seeds
+        # it from g_params when the checkpoint predates EMA)
+        cfg.train = dataclasses.replace(cfg.train, g_ema=0.999)
     log(f"backend: {jax.default_backend()}")
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -89,7 +97,10 @@ def main(argv=None):
     if restored is None:
         raise SystemExit(f"no checkpoint under {a.ckpt_dir}")
     state = restored
-    log(f"restored checkpoint step {int(state.step)}")
+    eval_g = (state.ema_g_params if a.use_ema and state.ema_g_params is not None
+              else state.g_params)
+    log(f"restored checkpoint step {int(state.step)}"
+        + (" (EMA generator)" if a.use_ema else ""))
 
     ins_np, gts_np, _ = synth_eval_set(a.eval_n, a.image_size, seed=a.seed)
     infer = make_infer_fn(cfg)
@@ -97,7 +108,7 @@ def main(argv=None):
     def batched_infer(rgb_np):
         outs = {}
         for i in range(0, rgb_np.shape[0], a.batch):
-            out = infer(state.g_params, state.specseg_vars,
+            out = infer(eval_g, state.specseg_vars,
                         jnp.asarray(rgb_np[i:i + a.batch]))
             for k in ("gen_rgb_calibrated", "gen_rgb_composited", "mask"):
                 outs.setdefault(k, []).append(np.asarray(out[k]))

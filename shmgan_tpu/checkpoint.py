@@ -18,6 +18,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -52,6 +53,8 @@ class CheckpointManager:
             "g_opt_state": state.g_opt_state,
             "d_opt_state": state.d_opt_state,
         }
+        if state.ema_g_params is not None:  # EMA runs only — layout unchanged
+            payload["ema_g_params"] = state.ema_g_params
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
         return step
@@ -75,8 +78,21 @@ class CheckpointManager:
             "g_opt_state": template.g_opt_state,
             "d_opt_state": template.d_opt_state,
         }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template_payload))
+        if template.ema_g_params is not None:
+            template_payload["ema_g_params"] = template.ema_g_params
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template_payload))
+        except (KeyError, ValueError):
+            if "ema_g_params" not in template_payload:
+                raise
+            # EMA run resuming a pre-EMA checkpoint: restore the base state and
+            # seed the EMA from the restored generator params.
+            template_payload.pop("ema_g_params")
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template_payload))
+            restored["ema_g_params"] = jax.tree_util.tree_map(
+                jnp.copy, restored["g_params"])  # no aliasing (donation-safe)
         return template.replace(**restored)
 
     def close(self):

@@ -159,6 +159,12 @@ class TrainConfig:
     # free where the saved traffic isn't. Numerics are exactly preserved
     # (tests/test_remat.py).
     remat: str = "none"
+    # Exponential moving average of generator params (Karras et al. style),
+    # maintained in-graph alongside the Adam update and used for eval/inference
+    # when enabled. 0.0 = off (reference parity — the reference has no EMA).
+    # The EMA tree ships in checkpoints only when enabled, so the default
+    # checkpoint layout is unchanged.
+    g_ema: float = 0.0
 
 
 @dataclass

@@ -142,4 +142,7 @@ def shard_train_state(state, mesh: Mesh, spatial: bool = False):
             lambda x: jax.device_put(x, replicated), state.specseg_vars),
         g_opt_state=g_opt,
         d_opt_state=d_opt,
+        # the EMA tree mirrors g_params leaf-for-leaf, so it shards identically
+        ema_g_params=(None if state.ema_g_params is None
+                      else put(state.ema_g_params, g_sh)),
     )

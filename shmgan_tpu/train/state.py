@@ -52,6 +52,9 @@ class TrainState(flax.struct.PyTreeNode):
     d_opt_state: Any
     g_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     d_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # EMA of g_params (cfg.train.g_ema > 0); None when disabled so the pytree
+    # (and therefore the checkpoint layout) is unchanged for parity runs.
+    ema_g_params: Any = None
 
 
 def build_models(cfg: Config):
@@ -97,11 +100,15 @@ def create_train_state(cfg: Config, rng: jax.Array,
     g_tx = make_optimizer(cfg.train.g_lr, cfg)
     d_tx = make_optimizer(cfg.train.d_lr, cfg)
 
+    # a REAL copy, not jnp.asarray — the EMA tree must not alias g_params
+    # buffers or donating the state donates the same buffer twice
+    ema = jax.tree_util.tree_map(jnp.copy, g_params) \
+        if cfg.train.g_ema > 0.0 else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params, d_params=d_params, specseg_vars=specseg_vars,
         g_opt_state=g_tx.init(g_params), d_opt_state=d_tx.init(d_params),
-        g_tx=g_tx, d_tx=d_tx,
+        g_tx=g_tx, d_tx=d_tx, ema_g_params=ema,
     )
 
 

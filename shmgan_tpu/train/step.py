@@ -294,9 +294,21 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
 
         g_params, g_opt_state = lax.cond(epoch >= train_g_after, g_update, g_skip, None)
 
+        # Generator EMA (cfg.train.g_ema > 0): in-graph decay toward the fresh
+        # params, fused into the same step — no extra dispatch or HBM pass
+        # beyond the EMA tree itself. state.ema_g_params is None when disabled
+        # (structural/static, so parity runs trace an unchanged graph).
+        ema_g_params = state.ema_g_params
+        if ema_g_params is not None:
+            d_ = jnp.asarray(cfg.train.g_ema)
+            ema_g_params = jax.tree_util.tree_map(
+                lambda e, p: e * d_ + p.astype(e.dtype) * (1.0 - d_),
+                state.ema_g_params, g_params)
+
         new_state = state.replace(step=state.step + 1, g_params=g_params,
                                   d_params=d_params, g_opt_state=g_opt_state,
-                                  d_opt_state=d_opt_state)
+                                  d_opt_state=d_opt_state,
+                                  ema_g_params=ema_g_params)
         metrics = dict(metrics)
         metrics["target_label"] = t
         if debug_grads:
