@@ -74,7 +74,6 @@ def main(argv=None):
     from shmgan_tpu.checkpoint import CheckpointManager
     from shmgan_tpu.config import Config
     from shmgan_tpu.data.synthetic import synth_eval_set
-    from shmgan_tpu.eval.fid import fid_from_images
     from shmgan_tpu.eval.metrics import evaluate_pair
     from shmgan_tpu.infer import make_infer_fn
     from shmgan_tpu.ops.ssim import ssim as ssim_fn
@@ -115,18 +114,38 @@ def main(argv=None):
         return {k: np.concatenate(v) for k, v in outs.items()}
 
     out = batched_infer(ins_np)
-    gts = jnp.asarray(gts_np)
-    ins = jnp.asarray(ins_np)
+
+    # All metric terms are per-image, so the whole evaluation streams in
+    # --batch chunks (numerically identical to one full-set call). One program
+    # over eval_n 256px images would be a multi-GB SpecSeg-features allocation
+    # and a long device program — both relay hazards (CLAUDE.md chunk rule).
+    from shmgan_tpu.eval.fid import frechet_distance, specseg_features
+
+    def chunked_feats(x_np):
+        fs = []
+        for i in range(0, x_np.shape[0], a.batch):
+            fs.append(np.asarray(specseg_features(
+                state.specseg_vars, jnp.asarray(x_np[i:i + a.batch]),
+                base_filters=cfg.model.specseg_base_filters)))
+        return np.concatenate(fs)
+
+    gt_feats = jnp.asarray(chunked_feats(gts_np))
 
     def metrics(x_np, name):
-        x = jnp.asarray(x_np)
-        mse = jnp.mean((x - gts) ** 2, axis=(1, 2, 3))
-        psnr = float(jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
-        ssim = float(jnp.mean(ssim_fn(x, gts, max_val=1.0)))
-        fid = float(fid_from_images(state.specseg_vars, x, gts,
-                                    base_filters=cfg.model.specseg_base_filters))
-        ref_style = {k: round(float(jnp.mean(v)), 4)
-                     for k, v in evaluate_pair(x, gts).items()}
+        psnr_i, ssim_i, ref_rows = [], [], []
+        for i in range(0, x_np.shape[0], a.batch):
+            x = jnp.asarray(x_np[i:i + a.batch])
+            g = jnp.asarray(gts_np[i:i + a.batch])
+            mse = jnp.mean((x - g) ** 2, axis=(1, 2, 3))
+            psnr_i.append(np.asarray(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+            ssim_i.append(np.asarray(ssim_fn(x, g, max_val=1.0)))
+            ref_rows.append({k: np.asarray(v)
+                             for k, v in evaluate_pair(x, g).items()})
+        psnr = float(np.mean(np.concatenate(psnr_i)))
+        ssim = float(np.mean(np.concatenate(ssim_i)))
+        fid = float(frechet_distance(jnp.asarray(chunked_feats(x_np)), gt_feats))
+        ref_style = {k: round(float(np.mean(np.concatenate(
+            [r[k] for r in ref_rows]))), 4) for k in ref_rows[0]}
         m = {"psnr": round(psnr, 4), "ssim": round(ssim, 4),
              "fid": round(fid, 5), "reference_style": ref_style}
         log(f"{name}: PSNR {psnr:.2f} SSIM {ssim:.4f} FID {fid:.4f} "

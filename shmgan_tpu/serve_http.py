@@ -274,9 +274,9 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
             gen = out["gen_rgb_calibrated"][0]
             mask = out["mask"][0, ..., 0]
             if output == "image":
-                resp = self._bytes(200, _png_bytes(gen), "image/png")
+                self._bytes(200, _png_bytes(gen), "image/png")
             elif output == "mask":
-                resp = self._bytes(200, _png_bytes(mask), "image/png")
+                self._bytes(200, _png_bytes(mask), "image/png")
             else:
                 self._json(200, {
                     "size": size,
