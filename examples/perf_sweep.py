@@ -28,7 +28,9 @@ def main(argv=None):
     p.add_argument("--variants", nargs="+",
                    default=["bf16:24:none", "bf16:24:models",
                             "bf16:32:models", "bf16:48:models"],
-                   help="dtype:batch:remat triples (dtype in f32|bf16)")
+                   help="dtype:batch:remat[:image_size[:scanK]] "
+                        "(dtype in f32|bf16; 'scan20' = 20 steps chained in "
+                        "one lax.scan program, the production dispatch path)")
     p.add_argument("--out", default="benchmarks/perf_sweep.json")
     a = p.parse_args(argv)
 
@@ -38,12 +40,24 @@ def main(argv=None):
 
     rows = []
     for v in a.variants:
-        dt, batch, remat = v.split(":")
-        code = bench._TRAIN_SNIPPET.format(
-            dtype=_DTYPES[dt], batch=int(batch), remat=remat)
+        parts = v.split(":")
+        dt, batch, remat = parts[0], int(parts[1]), parts[2]
+        image_size = int(parts[3]) if len(parts) > 3 else 128
+        scan_k = 0
+        if len(parts) > 4 and parts[4].startswith("scan"):
+            scan_k = int(parts[4][4:] or "20")
+        if scan_k:
+            code = bench._SCAN_TRAIN_SNIPPET.format(
+                dtype=_DTYPES[dt], batch=batch, remat=remat,
+                image_size=image_size, k=scan_k)
+        else:
+            code = bench._TRAIN_SNIPPET.format(
+                dtype=_DTYPES[dt], batch=batch, remat=remat,
+                image_size=image_size, iters=20)
         r = bench._run_section(f"train {v}", code)
-        rows.append({"variant": v, "dtype": _DTYPES[dt], "batch": int(batch),
-                     "remat": remat,
+        rows.append({"variant": v, "dtype": _DTYPES[dt], "batch": batch,
+                     "remat": remat, "image_size": image_size,
+                     "scan_k": scan_k,
                      "images_per_sec": round(r["images_per_sec"], 2) if r else None,
                      "step_ms": round(r["step_ms"], 2) if r else None})
 

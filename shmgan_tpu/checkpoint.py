@@ -62,11 +62,32 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, template: TrainState,
-                step: Optional[int] = None) -> Optional[TrainState]:
+    def has_key(self, step: int, key: str) -> bool:
+        """Whether the payload saved at `step` contains the top-level entry
+        `key` (e.g. 'ema_g_params'). Reads the checkpoint's own tree metadata
+        (StandardSave writes stringified key-tuples under default/_METADATA)
+        instead of inferring from restore exceptions (ADVICE r2: a broad
+        except could mask a genuinely corrupt checkpoint)."""
+        import json
+        meta_path = os.path.join(self.directory, str(int(step)), "default",
+                                 "_METADATA")
+        try:
+            with open(meta_path) as f:
+                tree_md = json.load(f).get("tree_metadata", {})
+        except (OSError, ValueError):
+            return False
+        prefix = f"('{key}'"
+        return any(k.startswith(prefix) for k in tree_md)
+
+    def restore(self, template: TrainState, step: Optional[int] = None,
+                include_ema: bool = False) -> Optional[TrainState]:
         """Restore into the structure of `template` (a freshly created state).
         Returns None when no checkpoint exists (reference prints 'restored!!'
-        unconditionally even when nothing was restored — we are honest)."""
+        unconditionally even when nothing was restored — we are honest).
+
+        include_ema=True restores the checkpoint's ema_g_params tree even when
+        the template has no EMA slot (inference surfaces use this to deploy
+        the averaged weights an EMA run was evaluated with)."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
@@ -78,21 +99,25 @@ class CheckpointManager:
             "g_opt_state": template.g_opt_state,
             "d_opt_state": template.d_opt_state,
         }
-        if template.ema_g_params is not None:
-            template_payload["ema_g_params"] = template.ema_g_params
-        try:
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(template_payload))
-        except (KeyError, ValueError):
-            if "ema_g_params" not in template_payload:
-                raise
-            # EMA run resuming a pre-EMA checkpoint: restore the base state and
-            # seed the EMA from the restored generator params.
-            template_payload.pop("ema_g_params")
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(template_payload))
+        ckpt_has_ema = self.has_key(step, "ema_g_params")
+        want_ema = template.ema_g_params is not None or include_ema
+        if ckpt_has_ema:
+            # EMA tree mirrors g_params leaf-for-leaf; a zeros template of the
+            # right structure suffices even when the template lacks the slot
+            template_payload["ema_g_params"] = (
+                template.ema_g_params if template.ema_g_params is not None
+                else jax.tree_util.tree_map(jnp.zeros_like, template.g_params))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template_payload))
+        if ckpt_has_ema and not want_ema:
+            # non-EMA caller over an EMA checkpoint: leave the state EMA-free
+            # (the slot's presence is what arms in-step EMA maintenance)
+            restored.pop("ema_g_params")
+        if template.ema_g_params is not None and not ckpt_has_ema:
+            # EMA run resuming a pre-EMA checkpoint: seed the EMA from the
+            # restored generator params (copy — no aliasing, donation-safe)
             restored["ema_g_params"] = jax.tree_util.tree_map(
-                jnp.copy, restored["g_params"])  # no aliasing (donation-safe)
+                jnp.copy, restored["g_params"])
         return template.replace(**restored)
 
     def close(self):

@@ -96,10 +96,19 @@ def _restored_state(cfg: Config):
                                specseg_vars=specseg_vars)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
                              max_to_keep=cfg.train.checkpoint_max_to_keep)
-    restored = ckpt.restore(state)
+    restored = ckpt.restore(state, include_ema=cfg.eval.use_ema)
     if restored is not None:
         state = restored
-        print(f"[ckpt] restored step {int(state.step)}")
+        if cfg.eval.use_ema and state.ema_g_params is not None:
+            # EMA-trained checkpoints are evaluated on the averaged tree
+            # (examples/quality_eval.py); deploy those same weights here
+            # instead of silently shipping the raw last-step params
+            # (ADVICE r2 medium). --use_ema false opts out.
+            state = state.replace(g_params=state.ema_g_params,
+                                  ema_g_params=None)
+            print(f"[ckpt] restored step {int(state.step)} (EMA generator)")
+        else:
+            print(f"[ckpt] restored step {int(state.step)}")
     else:
         print("[ckpt] WARNING: no checkpoint found — using random weights")
     return state

@@ -195,12 +195,20 @@ class MeshConfig:
     # Shard conv feature maps spatially (H) across the model axis for large images —
     # the vision analogue of sequence parallelism. Off by default (parity item: no).
     spatial_sharding: bool = False
+    # Conv kernels with at least this many output channels get TP-sharded when
+    # model_parallel > 1 (below it the collective cost outweighs the FLOP
+    # split). Lowered in small-model tests/dryruns so TP is actually exercised.
+    tp_min_channels: int = 256
 
 
 @dataclass
 class EvalConfig:
     calc_metrics: bool = False
     specseg_weights: str = "specsegv3_chkpt.h5"
+    # Deploy the EMA generator tree (when the checkpoint carries one) for
+    # test/serve/export — the weights EMA-run metrics were measured on
+    # (ADVICE r2). False forces the raw last-step params.
+    use_ema: bool = True
 
 
 @dataclass
@@ -275,6 +283,9 @@ class Config:
         p.add_argument("--log_dir", type=str, default="./logs/train")
         p.add_argument("--num_iteration", type=int, default=20000)
         p.add_argument("--specseg_weights", type=str, default="specsegv3_chkpt.h5")
+        p.add_argument("--use_ema", type=_strtobool, default=True,
+                       help="test/serve/export with the checkpoint's EMA "
+                            "generator tree when present")
         p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
@@ -311,7 +322,8 @@ class Config:
         cfg.mesh = dataclasses.replace(
             cfg.mesh, data_parallel=a.data_parallel, model_parallel=a.model_parallel)
         cfg.eval = dataclasses.replace(
-            cfg.eval, calc_metrics=a.calc_metrics, specseg_weights=a.specseg_weights)
+            cfg.eval, calc_metrics=a.calc_metrics,
+            specseg_weights=a.specseg_weights, use_ema=a.use_ema)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,

@@ -49,7 +49,11 @@ def frechet_distance(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
     diff2 = jnp.sum(jnp.square(mu_a - mu_b))
     sqrt_sa = _sym_sqrtm(sa)
     middle = _sym_sqrtm(sqrt_sa @ sb @ sqrt_sa)
-    return diff2 + jnp.trace(sa) + jnp.trace(sb) - 2.0 * jnp.trace(middle)
+    # Fréchet distance is non-negative by definition; the eigh-sqrtm eps and
+    # f32 trace cancellation can push near-identical distributions a hair below
+    # zero (observed -0.1 in round-2 artifacts) — clamp so reports stay honest.
+    return jnp.maximum(
+        diff2 + jnp.trace(sa) + jnp.trace(sb) - 2.0 * jnp.trace(middle), 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,28 @@ from shmgan_tpu.ops.standardize import per_image_standardization
 from shmgan_tpu.train.state import build_models
 
 
+def fit_affine_luma(gen_y: jnp.ndarray, y_ref: jnp.ndarray,
+                    weight: jnp.ndarray):
+    """Per-image weighted least-squares affine fit a*gen_y + b ~= y_ref.
+
+    weight (B,H,W,1) in [0,1] selects the trustworthy pixels (non-specular,
+    where the input equals the diffuse scene). Returns (a, b) of shape
+    (B,1,1,1). Degenerate weights (everything masked, or constant gen_y)
+    fall back to the identity fit (a=1, b=0); a drift-free generator fits
+    (1, 0) exactly, so applying the fit is a no-op on perfect outputs.
+    """
+    sw = jnp.sum(weight, axis=(1, 2, 3), keepdims=True)
+    sx = jnp.sum(weight * gen_y, axis=(1, 2, 3), keepdims=True)
+    sy = jnp.sum(weight * y_ref, axis=(1, 2, 3), keepdims=True)
+    sxx = jnp.sum(weight * gen_y * gen_y, axis=(1, 2, 3), keepdims=True)
+    sxy = jnp.sum(weight * gen_y * y_ref, axis=(1, 2, 3), keepdims=True)
+    det = sw * sxx - sx * sx
+    ok = (det > 1e-6) & (sw > 1.0)
+    a = jnp.where(ok, (sw * sxy - sx * sy) / jnp.where(ok, det, 1.0), 1.0)
+    b = jnp.where(ok, (sy - a * sx) / jnp.where(ok, sw, 1.0), 0.0)
+    return a, b
+
+
 def make_infer_fn(cfg: Config, with_cyclic: bool = False):
     """Build fn(g_params, specseg_vars, rgb) -> dict of outputs (jit-compiled).
 
@@ -36,7 +58,8 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
                  (the reference's gen_rgb_output, test.py:249, which uses a running
                  MEAN of stddevs — here the image's own stddev: honest per-image
                  version, identical at the first image)
-      gen_rgb_calibrated : exact inverse of the input standardization; [0,1] RGB
+      gen_rgb_calibrated : luma-refit (affine fit to the input's non-specular
+                 pixels) + exact inverse of the input standardization; [0,1] RGB
       gen_rgb_composited : mask-composited deliverable — input outside the
                  (dilated, softened) specular mask, calibrated reconstruction
                  inside it
@@ -67,12 +90,33 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
         gen_rgb = yuv_to_rgb(gen_yuv)
         scale = stats.stddev.reshape(-1, 1, 1, 1)
         denorm = yuv_to_rgb(gen_yuv * scale * 255.0)
-        # exact inverse of the input standardization (÷stddev): the calibrated
-        # output lives in the input's [0,1] RGB domain and is directly comparable
-        # to ground truth — the reference never closes this loop (its metrics run
-        # on the standardized-scale gen_rgb, test.py:336-347, and its preview
-        # multiplies by a global running-mean stddev ×255, test.py:246-249).
-        calibrated = jnp.clip(yuv_to_rgb(gen_yuv * scale), 0.0, 1.0)
+
+        # dilated + softened specular mask (used by the luma refit below and
+        # by the composited output)
+        m = lax.reduce_window(mask, -jnp.inf, lax.max, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "SAME")        # 5x5 dilation
+        m = lax.reduce_window(m, 0.0, lax.add, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "SAME") / 25.0  # box soften
+
+        # Luma refit (round-3 calibration): outside the specular mask the input
+        # already IS the diffuse scene, so any generator deviation there is pure
+        # reconstruction drift (a global haze/brightness shift — measured in
+        # round 2 as gen_calibrated deltaE76 7.26 vs identity 5.63). Fit the
+        # per-image affine (a, b) minimizing sum_w |a*gen_y + b - y_in|^2 over
+        # NON-mask pixels (closed form, in-graph, no ground truth used) and
+        # apply it to the whole generated luma. A drift-free generator fits
+        # a=1, b=0 exactly, so this is a no-op on perfect reconstructions.
+        # The reference never closes this loop at all (its preview multiplies
+        # by a global running-mean stddev x255, test.py:246-250).
+        w_nm = jnp.clip(1.0 - m, 0.0, 1.0)
+        a_fit, b_fit = fit_affine_luma(gen_y, y, w_nm)
+        cal_y = a_fit * gen_y + b_fit
+        cal_yuv = jnp.concatenate([cal_y, cbcr], axis=-1)
+
+        # calibrated output: luma refit + exact inverse of the input
+        # standardization (÷stddev) — lives in the input's [0,1] RGB domain and
+        # is directly comparable to ground truth.
+        calibrated = jnp.clip(yuv_to_rgb(cal_yuv * scale), 0.0, 1.0)
 
         # Mask-composited deliverable: copy the input verbatim outside the
         # specular regions and use the generated reconstruction inside them
@@ -81,10 +125,6 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
         # preserves it exactly — the practical specular-removal output the
         # reference's mask-attention design gestures at but never assembles
         # (its preview is the raw generator tensor, test.py:246-250).
-        m = lax.reduce_window(mask, -jnp.inf, lax.max, (1, 5, 5, 1),
-                              (1, 1, 1, 1), "SAME")        # 5x5 dilation
-        m = lax.reduce_window(m, 0.0, lax.add, (1, 5, 5, 1),
-                              (1, 1, 1, 1), "SAME") / 25.0  # box soften
         composited = m * calibrated + (1.0 - m) * rgb
 
         out = {"gen_rgb": gen_rgb, "gen_rgb_denorm": denorm,

@@ -78,40 +78,82 @@ def shard_batch(views, mesh: Mesh, spatial: bool = False):
                                                 spatial=spatial))
 
 
-def _param_spec(path_keys: str, leaf, mesh: Mesh, model_parallel: bool) -> P:
+def _output_extent(path_keys: str, image_size: int):
+    """Spatial extent of the feature map a conv kernel at `path_keys` writes,
+    from the known SHMGAN topologies: D 'block{i}' = stride-2 conv i
+    (ShmGANwithSSpecSeg.py:353-361 -> extent /2^(i+1)); G 'down{i}' ends in a
+    2x2 AveragePool (:243-277), 'bottleneck' sits after 4 pools. Returns None
+    when the path isn't a depth-indexed block (head/attention/up convs — all
+    at extent >= image_size/16)."""
+    import re
+    m = re.search(r"block(\d+)/", path_keys)
+    if m:
+        return image_size // (2 ** (int(m.group(1)) + 1))
+    m = re.search(r"down(\d+)/", path_keys)
+    if m:
+        return image_size // (2 ** (int(m.group(1)) + 1))
+    if "bottleneck" in path_keys:
+        return image_size // 16
+    return None
+
+
+def _param_spec(path_keys: str, leaf, mesh: Mesh, model_parallel: bool,
+                image_size: int = 0,
+                min_channels: int = _MIN_SHARDED_CHANNELS) -> P:
     if not model_parallel:
         return P()
     # Output-channel sharding for large conv kernels (HWIO -> shard O) and the class
     # dense (shard the flattened-input dim, which is huge: 16384).
     model_axis = mesh.axis_names[1]
     msize = mesh.shape[model_axis]
-    if leaf.ndim == 4 and leaf.shape[-1] >= _MIN_SHARDED_CHANNELS \
+    if leaf.ndim == 4 and leaf.shape[-1] >= min_channels \
             and leaf.shape[-1] % msize == 0:
+        # Spatially-degenerate feature maps (1x1 at the discriminator's deepest
+        # block on small images) trip GSPMD's sharding propagation into an
+        # "Involuntary full rematerialization" resharding of the backward
+        # activations (MULTICHIP_r02 finding; reproduced + bisected to extent
+        # on the 8-device CPU mesh). Keep such kernels replicated — at 1x1
+        # extent the conv is a pointwise matmul with nothing to gain from TP.
+        if image_size:
+            extent = _output_extent(path_keys, image_size)
+            if extent is not None and extent < 2:
+                return P()
         return P(None, None, None, model_axis)
     if leaf.ndim == 2 and leaf.shape[0] % msize == 0 and leaf.shape[0] >= 1024:
         return P(model_axis, None)
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh, spatial: bool = False) -> Any:
+def param_shardings(params: Any, mesh: Mesh, spatial: bool = False,
+                    image_size: int = 0,
+                    min_channels: int = _MIN_SHARDED_CHANNELS) -> Any:
     """A NamedSharding tree matching `params`. In spatial mode the model axis is
-    occupied by activation-H sharding, so parameters replicate."""
+    occupied by activation-H sharding, so parameters replicate. image_size
+    (when known) gates TP off kernels whose feature maps are spatially
+    degenerate (see _param_spec)."""
     model_parallel = mesh.shape[mesh.axis_names[1]] > 1 and not spatial
 
     def one(path, leaf):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
-        return NamedSharding(mesh, _param_spec(keys, leaf, mesh, model_parallel))
+        return NamedSharding(mesh, _param_spec(keys, leaf, mesh, model_parallel,
+                                               image_size=image_size,
+                                               min_channels=min_channels))
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_train_state(state, mesh: Mesh, spatial: bool = False):
+def shard_train_state(state, mesh: Mesh, spatial: bool = False,
+                      image_size: int = 0,
+                      min_channels: int = _MIN_SHARDED_CHANNELS):
     """Place a TrainState on the mesh: params per the TP rules (opt state mirrors its
-    params automatically via tree structure), everything else replicated."""
+    params automatically via tree structure), everything else replicated.
+    Pass image_size so the TP spec can skip spatially-degenerate kernels."""
     replicated = NamedSharding(mesh, P())
 
-    g_sh = param_shardings(state.g_params, mesh, spatial=spatial)
-    d_sh = param_shardings(state.d_params, mesh, spatial=spatial)
+    g_sh = param_shardings(state.g_params, mesh, spatial=spatial,
+                           image_size=image_size, min_channels=min_channels)
+    d_sh = param_shardings(state.d_params, mesh, spatial=spatial,
+                           image_size=image_size, min_channels=min_channels)
 
     def put(tree, sh):
         return jax.tree_util.tree_map(jax.device_put, tree, sh)

@@ -139,7 +139,14 @@ class BatchInferenceEngine:
         it = 0
         while max_iterations is None or it < max_iterations:
             stable = []
-            for f in list_images(in_dir):
+            current = set(list_images(in_dir))
+            # prune state for files that disappeared (rotated/deleted by the
+            # producer) — otherwise a write-then-delete producer leaks pending/
+            # seen entries unboundedly over a long-running daemon (ADVICE r2)
+            for gone in [f for f in pending if f not in current]:
+                pending.pop(gone, None)
+            seen &= current
+            for f in sorted(current):
                 if f in seen:
                     continue
                 try:

@@ -125,7 +125,17 @@ class BatchingFrontend:
         self._max_batch = max(1, max_batch)
         self._queues: Dict[int, "queue.Queue"] = {}
         self._lock = threading.Lock()
-        self.device_calls = 0
+        self._calls_lock = threading.Lock()  # collector threads + /stats reads
+        self._device_calls = 0
+
+    @property
+    def device_calls(self) -> int:
+        with self._calls_lock:
+            return self._device_calls
+
+    def _count_device_call(self):
+        with self._calls_lock:
+            self._device_calls += 1
 
     def _collector(self, size: int, eng, q: "queue.Queue"):
         while True:
@@ -140,10 +150,16 @@ class BatchingFrontend:
                     batch.append(q.get(timeout=rest))
                 except queue.Empty:
                     break
+            # a waiter that already timed out set its cancelled flag; spending
+            # a device slot on it would serve nobody (ADVICE r2)
+            batch = [item for item in batch
+                     if not item[1]["cancelled"].is_set()]
+            if not batch:
+                continue
             rgb = np.concatenate([item[0] for item in batch])
             try:
                 with self._pool.device_lock:
-                    self.device_calls += 1
+                    self._count_device_call()
                     out = eng.process_images(rgb)
                 i = 0
                 for item in batch:
@@ -167,7 +183,7 @@ class BatchingFrontend:
         eng = self._pool.engine(size)
         if self._window_s <= 0:
             with self._pool.device_lock:
-                self.device_calls += 1
+                self._count_device_call()
                 return eng.process_images(rgb)
         with self._lock:
             q = self._queues.get(size)
@@ -175,9 +191,10 @@ class BatchingFrontend:
                 q = self._queues[size] = queue.Queue()
                 threading.Thread(target=self._collector, args=(size, eng, q),
                                  daemon=True).start()
-        slot = {"done": threading.Event()}
+        slot = {"done": threading.Event(), "cancelled": threading.Event()}
         q.put((rgb, slot))
         if not slot["done"].wait(timeout=timeout_s):
+            slot["cancelled"].set()
             raise TimeoutError(f"inference timed out after {timeout_s}s")
         if "err" in slot:
             raise slot["err"]

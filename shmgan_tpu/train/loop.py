@@ -120,7 +120,9 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
             rng = jax.random.fold_in(rng, steps_done)
             log(f"[ckpt] restored step {steps_done} (epoch {start_epoch})")
 
-    state = shard_train_state(state, mesh, spatial=cfg.mesh.spatial_sharding)
+    state = shard_train_state(state, mesh, spatial=cfg.mesh.spatial_sharding,
+                              image_size=cfg.model.image_size,
+                              min_channels=cfg.mesh.tp_min_channels)
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
     infer_fn = None

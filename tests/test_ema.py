@@ -128,6 +128,43 @@ class TestEmaCheckpoint:
         restored = mgr.restore(create_train_state(cfg, jax.random.PRNGKey(7)))
         assert restored is not None and restored.ema_g_params is None
 
+    def test_has_key_reads_checkpoint_metadata(self, tmp_path):
+        from shmgan_tpu.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        ema_state = create_train_state(small_config(g_ema=0.9),
+                                       jax.random.PRNGKey(0))
+        mgr.save(ema_state, step=1)
+        plain = create_train_state(small_config(), jax.random.PRNGKey(0))
+        mgr.save(plain, step=2)
+        assert mgr.has_key(1, "ema_g_params")
+        assert not mgr.has_key(2, "ema_g_params")
+        assert mgr.has_key(2, "g_params")
+        assert not mgr.has_key(99, "g_params")  # missing step -> False
+
+    def test_include_ema_restores_into_plain_template(self, tmp_path):
+        # inference surfaces (cli test/serve/export) deploy the EMA tree an
+        # EMA run was evaluated with, without arming EMA maintenance
+        from shmgan_tpu.checkpoint import CheckpointManager
+
+        cfg = small_config(g_ema=0.9)
+        state = _step_once(cfg, create_train_state(cfg, jax.random.PRNGKey(0)))
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(state, step=1)
+
+        plain_template = create_train_state(small_config(),
+                                            jax.random.PRNGKey(7))
+        restored = mgr.restore(plain_template, include_ema=True)
+        assert restored is not None and restored.ema_g_params is not None
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_g_params),
+                        jax.tree_util.tree_leaves(restored.ema_g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # without include_ema the plain template stays EMA-free even though
+        # the checkpoint carries the tree
+        restored2 = mgr.restore(create_train_state(small_config(),
+                                                   jax.random.PRNGKey(7)))
+        assert restored2 is not None and restored2.ema_g_params is None
+
 
 class TestEmaSharding:
     def test_ema_follows_dp_mesh(self):

@@ -101,22 +101,71 @@ class TestEvalHarness:
 
 
 class TestCalibratedOutput:
-    def test_calibration_inverts_standardization(self, setup):
-        # feeding the pipeline an identity task: if gen_y were exactly the
-        # standardized input Y, the calibrated output would reproduce the input
-        # RGB. We can't force gen_y, but we can check the calibrated output is in
-        # [0,1] and that calibration = gen_rgb * stddev (linearity of yuv_to_rgb).
-        from shmgan_tpu.ops.color import rgb_to_yuv
+    def test_calibration_is_luma_refit_plus_inverse_standardization(self, setup):
+        # contract (round 3): calibrated = clip(yuv_to_rgb([a*gen_y+b, cbcr] *
+        # stddev)) where (a, b) is the per-image affine luma fit of gen_y to
+        # the input's standardized Y over non-specular pixels. Reconstruct the
+        # fit on the host from the returned mask/gen_y and compare.
+        from scipy import ndimage
+
+        from shmgan_tpu.infer import fit_affine_luma, make_infer_fn
+        from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
         from shmgan_tpu.ops.standardize import per_image_standardization
         cfg, state, rgb = setup
-        from shmgan_tpu.infer import make_infer_fn
         out = make_infer_fn(cfg)(state.g_params, state.specseg_vars, rgb)
         cal = np.asarray(out["gen_rgb_calibrated"])
         assert cal.min() >= 0.0 and cal.max() <= 1.0
-        _, stats = per_image_standardization(rgb_to_yuv(rgb))
-        expect = np.clip(np.asarray(out["gen_rgb"])
-                         * np.asarray(stats.stddev).reshape(-1, 1, 1, 1), 0, 1)
-        np.testing.assert_allclose(cal, expect, atol=1e-5)
+
+        yuv, stats = per_image_standardization(rgb_to_yuv(rgb))
+        mask = np.asarray(out["mask"])
+        m = np.zeros_like(mask)
+        for b in range(mask.shape[0]):
+            dil = ndimage.maximum_filter(mask[b, ..., 0], size=5,
+                                         mode="constant", cval=-np.inf)
+            m[b, ..., 0] = ndimage.uniform_filter(dil, size=5, mode="constant",
+                                                  cval=0.0)
+        a_fit, b_fit = fit_affine_luma(out["gen_y"], yuv[..., 0:1],
+                                       jnp.clip(1.0 - jnp.asarray(m), 0, 1))
+        cal_yuv = jnp.concatenate([a_fit * out["gen_y"] + b_fit, yuv[..., 1:]],
+                                  axis=-1)
+        expect = np.clip(np.asarray(yuv_to_rgb(
+            cal_yuv * stats.stddev.reshape(-1, 1, 1, 1))), 0, 1)
+        np.testing.assert_allclose(cal, expect, rtol=1e-4, atol=1e-5)
+
+    def test_affine_luma_fit_recovers_drift(self):
+        from shmgan_tpu.infer import fit_affine_luma
+        rng = np.random.default_rng(0)
+        y = rng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32)
+        # gen = (y - b_true) / a_true  =>  fit should return (a_true, b_true)
+        a_true, b_true = 1.3, -0.2
+        gen = (y - b_true) / a_true
+        w = np.ones_like(y)
+        a, b = fit_affine_luma(jnp.asarray(gen), jnp.asarray(y), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(a).ravel(), a_true, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(b).ravel(), b_true, atol=1e-4)
+
+    def test_affine_luma_fit_identity_on_perfect(self):
+        from shmgan_tpu.infer import fit_affine_luma
+        rng = np.random.default_rng(1)
+        y = rng.uniform(0, 1, (1, 8, 8, 1)).astype(np.float32)
+        a, b = fit_affine_luma(jnp.asarray(y), jnp.asarray(y),
+                               jnp.ones_like(jnp.asarray(y)))
+        np.testing.assert_allclose(np.asarray(a).ravel(), 1.0, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(b).ravel(), 0.0, atol=1e-5)
+
+    def test_affine_luma_fit_degenerate_weight_is_noop(self):
+        from shmgan_tpu.infer import fit_affine_luma
+        rng = np.random.default_rng(2)
+        y = rng.uniform(0, 1, (1, 8, 8, 1)).astype(np.float32)
+        gen = rng.uniform(0, 1, (1, 8, 8, 1)).astype(np.float32)
+        # all-specular image: zero weight everywhere -> identity fit
+        a, b = fit_affine_luma(jnp.asarray(gen), jnp.asarray(y),
+                               jnp.zeros_like(jnp.asarray(y)))
+        assert float(a.ravel()[0]) == 1.0 and float(b.ravel()[0]) == 0.0
+        # constant gen_y (det == 0) -> identity fit, no NaN
+        a, b = fit_affine_luma(jnp.full_like(jnp.asarray(y), 0.5),
+                               jnp.asarray(y), jnp.ones_like(jnp.asarray(y)))
+        assert float(a.ravel()[0]) == 1.0 and np.isfinite(float(b.ravel()[0]))
 
 
 class TestCompositedOutput:
