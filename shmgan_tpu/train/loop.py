@@ -99,10 +99,14 @@ def train(cfg: Config, dataset: Optional[PolarimetricDataset] = None,
         f"SpecSeg params: {param_count(state.specseg_vars):,} (frozen)")
 
     # architecture dumps, like the reference's per-run *_summary.txt
-    # (ShmGANwithSSpecSeg.py:916-919,934-935)
+    # (ShmGANwithSSpecSeg.py:916-919,934-935). Written into a summaries/
+    # subdirectory so runs never clobber artifacts already sitting in
+    # model_save_dir (the repo's own models/*_summary.txt are full-width
+    # dumps matching the goldens in tests/test_models.py).
     from shmgan_tpu.utils.viz import write_model_summaries
     write_model_summaries(state.g_params, state.d_params, state.specseg_vars,
-                          out_dir=cfg.train.model_save_dir)
+                          out_dir=os.path.join(cfg.train.model_save_dir,
+                                               "summaries"))
 
     # ---- checkpoint restore (reference restores whenever delete flag is off,
     # ShmGANwithSSpecSeg.py:949-951)

@@ -21,7 +21,8 @@ def tiny_config(tmp, n_epochs=1, run_name="run") -> Config:
         cfg.train, batch_size=2, num_epochs=n_epochs, checkpoint_save_step=1,
         checkpoint_save_dir=os.path.join(tmp, run_name, "ckpt"),
         log_dir=os.path.join(tmp, run_name, "logs"),
-        result_dir=os.path.join(tmp, run_name, "results"))
+        result_dir=os.path.join(tmp, run_name, "results"),
+        model_save_dir=os.path.join(tmp, run_name, "models"))
     cfg.data = dataclasses.replace(cfg.data, data_dir=os.path.join(tmp, "polar"))
     cfg.mesh = dataclasses.replace(cfg.mesh, data_parallel=1, model_parallel=1)
     return cfg

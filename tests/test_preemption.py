@@ -24,7 +24,8 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
         cfg.train, batch_size=2, num_epochs=50, checkpoint_save_step=100,
         checkpoint_save_dir=os.path.join(root, "ckpt"),
         log_dir=os.path.join(root, "logs"),
-        result_dir=os.path.join(root, "results"))
+        result_dir=os.path.join(root, "results"),
+        model_save_dir=os.path.join(root, "models"))
     cfg.data = dataclasses.replace(cfg.data, data_dir=os.path.join(root, "polar"))
     cfg.mesh = dataclasses.replace(cfg.mesh, data_parallel=1, model_parallel=1)
 
