@@ -90,7 +90,8 @@ from shmgan_tpu.train.step import make_scan_train_steps
 dtype, batch, k = {dtype!r}, {batch}, {k}
 cfg = Config()
 cfg.model = dataclasses.replace(cfg.model, compute_dtype=dtype,
-                                image_size={image_size})
+                                image_size={image_size},
+                                use_pallas_instance_norm={pallas})
 cfg.train = dataclasses.replace(cfg.train, batch_size=batch, remat={remat!r})
 state = create_train_state(cfg, jax.random.PRNGKey(0))
 scan_fn = jax.jit(make_scan_train_steps(cfg), donate_argnums=(0,))
@@ -290,12 +291,15 @@ def main():
         results["train_bf16_b32_remat_step_ms"] = t4["step_ms"]
 
     # The PRODUCTION dispatch path: K steps chained in one lax.scan program
-    # (exactly how examples/quality_train.py trains). The per-step sections
-    # above pay ~18 ms/step of host/relay dispatch that real training never
-    # pays; this section measures the deployed configuration and is headline-
-    # eligible (it IS the trainer's hot path, not a synthetic best case).
-    t5 = _run_section("train bf16 b24 scan20", _SCAN_TRAIN_SNIPPET.format(
-        dtype="bfloat16", batch=24, remat="none", image_size=128, k=20))
+    # with the fused Pallas instance-norm kernel — exactly how
+    # examples/quality_train.py trains on TPU (--pallas_in auto). Round-3
+    # measurement note: scan K=100 vs per-step timing differ by <0.5% (the
+    # relay pipelines per-step dispatch), so this section's edge over the b24
+    # per-step row is the Pallas kernel (+2.2%) + scan (+1.3%); headline-
+    # eligible because it IS the trainer's hot path, not a synthetic best case.
+    t5 = _run_section("train bf16 b24 scan100 pallas", _SCAN_TRAIN_SNIPPET.format(
+        dtype="bfloat16", batch=24, remat="none", image_size=128, k=100,
+        pallas=True))
     if t5:
         results["train_bf16_b24_scan_images_per_sec"] = t5["images_per_sec"]
         results["train_bf16_b24_scan_step_ms"] = t5["step_ms"]

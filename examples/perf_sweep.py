@@ -28,9 +28,11 @@ def main(argv=None):
     p.add_argument("--variants", nargs="+",
                    default=["bf16:24:none", "bf16:24:models",
                             "bf16:32:models", "bf16:48:models"],
-                   help="dtype:batch:remat[:image_size[:scanK]] "
+                   help="dtype:batch:remat[:image_size[:scanK[:pallas]]] "
                         "(dtype in f32|bf16; 'scan20' = 20 steps chained in "
-                        "one lax.scan program, the production dispatch path)")
+                        "one lax.scan program, the production dispatch path; "
+                        "trailing 'pallas' enables the fused instance-norm "
+                        "kernel)")
     p.add_argument("--out", default="benchmarks/perf_sweep.json")
     a = p.parse_args(argv)
 
@@ -46,10 +48,11 @@ def main(argv=None):
         scan_k = 0
         if len(parts) > 4 and parts[4].startswith("scan"):
             scan_k = int(parts[4][4:] or "20")
+        pallas = len(parts) > 5 and parts[5] == "pallas"
         if scan_k:
             code = bench._SCAN_TRAIN_SNIPPET.format(
                 dtype=_DTYPES[dt], batch=batch, remat=remat,
-                image_size=image_size, k=scan_k)
+                image_size=image_size, k=scan_k, pallas=pallas)
         else:
             code = bench._TRAIN_SNIPPET.format(
                 dtype=_DTYPES[dt], batch=batch, remat=remat,
