@@ -66,3 +66,40 @@ class TestBenchSnippetConfig:
             dtype="bfloat16", batch=2, remat="none", image_size=32, k=2,
             pallas=False)
         assert "use_pallas_instance_norm=False" in code
+
+
+class TestRelaySafeSegmenting:
+    """--max_segment splits a chunk into short device programs (the relay
+    kills ~50s programs; scan(200) at 256px crashes the TPU worker while
+    scan(50) is fine — bisected 2026-08-17 via examples/step_probe.py)."""
+
+    def test_plan_covers_chunk_contiguously(self):
+        qt = _load_quality_train()
+        plan = qt.segment_plan(1000, 200, 50)
+        assert plan == [(1000, 50), (1050, 50), (1100, 50), (1150, 50)]
+
+    def test_plan_remainder_is_single_extra_length(self):
+        qt = _load_quality_train()
+        plan = qt.segment_plan(0, 130, 50)
+        assert plan == [(0, 50), (50, 50), (100, 30)]
+        # at most two distinct lengths -> at most one extra scan compile
+        assert len({k for _, k in plan}) <= 2
+
+    def test_plan_off_and_small_chunks_are_unsegmented(self):
+        qt = _load_quality_train()
+        assert qt.segment_plan(7, 40, 0) == [(7, 40)]
+        assert qt.segment_plan(7, 40, 50) == [(7, 40)]
+        assert qt.segment_plan(7, 40, 40) == [(7, 40)]
+
+    def test_auto_rule_matches_the_bisected_256px_limit(self):
+        qt = _load_quality_train()
+        assert qt.resolve_segment(-1, 256) == 50
+        assert qt.resolve_segment(-1, 512) == 50
+        assert qt.resolve_segment(-1, 128) == 0
+        # explicit values win over auto
+        assert qt.resolve_segment(25, 256) == 25
+        assert qt.resolve_segment(0, 256) == 0
+
+    def test_flag_default_is_auto(self):
+        qt = _load_quality_train()
+        assert qt.parse_args(["--phase", "gan"]).max_segment == -1
