@@ -31,17 +31,26 @@ def run_test(cfg: Config):
     (reference test.py:40-406)."""
     from shmgan_tpu.data.loader import SingleFolderDataset
     from shmgan_tpu.eval.metrics import MetricAccumulator, evaluate_pair
-    from shmgan_tpu.infer import make_infer_fn
+    from shmgan_tpu.infer import make_infer_fn, make_native_infer_fn
 
     print(cfg.describe())
     state = _restored_state(cfg)
-    infer = make_infer_fn(cfg, with_cyclic=True)
+    if cfg.eval.native_resolution:
+        # each photo at its OWN resolution (reflect-pad to a bucketed shape,
+        # crop back) — the reference force-resizes to a square (test.py:81-94).
+        # Cyclic diagnostics are skipped here: 5 extra G passes per photo that
+        # run_test never saves.
+        infer = make_native_infer_fn(cfg)
+        size = None
+    else:
+        infer = make_infer_fn(cfg, with_cyclic=True)
+        size = cfg.model.image_size
 
-    test_ds = SingleFolderDataset(cfg.data.test_dir, cfg.model.image_size,
+    test_ds = SingleFolderDataset(cfg.data.test_dir, size,
                                   batch_size=cfg.train.batch_size)
     diffuse_ds = None
     if cfg.eval.calc_metrics:
-        diffuse_ds = SingleFolderDataset(cfg.data.diffuse_dir, cfg.model.image_size,
+        diffuse_ds = SingleFolderDataset(cfg.data.diffuse_dir, size,
                                          batch_size=cfg.train.batch_size)
 
     os.makedirs(cfg.train.result_dir, exist_ok=True)

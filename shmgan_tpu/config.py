@@ -209,6 +209,10 @@ class EvalConfig:
     # test/serve/export — the weights EMA-run metrics were measured on
     # (ADVICE r2). False forces the raw last-step params.
     use_ema: bool = True
+    # test-mode at each photo's ORIGINAL resolution (reflect-pad to a bucketed
+    # shape, crop back — infer.make_native_infer_fn) instead of the
+    # reference's forced square resize (test.py:81-94). Batch is per-file.
+    native_resolution: bool = False
 
 
 @dataclass
@@ -286,6 +290,9 @@ class Config:
         p.add_argument("--use_ema", type=_strtobool, default=True,
                        help="test/serve/export with the checkpoint's EMA "
                             "generator tree when present")
+        p.add_argument("--native_resolution", type=_strtobool, default=False,
+                       help="test-mode inference at each photo's own "
+                            "resolution (no square resize)")
         p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
@@ -323,7 +330,8 @@ class Config:
             cfg.mesh, data_parallel=a.data_parallel, model_parallel=a.model_parallel)
         cfg.eval = dataclasses.replace(
             cfg.eval, calc_metrics=a.calc_metrics,
-            specseg_weights=a.specseg_weights, use_ema=a.use_ema)
+            specseg_weights=a.specseg_weights, use_ema=a.use_ema,
+            native_resolution=a.native_resolution)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,

@@ -73,6 +73,18 @@ def decode_resize(path: str, image_size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
+def decode_original(path: str) -> np.ndarray:
+    """Decode to RGB [0,1] at the file's ORIGINAL resolution (no resize).
+
+    Feeds the native-resolution inference path (infer.make_native_infer_fn) —
+    the capability the reference lacks: its test loader force-resizes every
+    photo to a square image_size (test.py:81-94), destroying detail."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+
+
 # Formats the native C++ decoder (native/loader.cc) handles itself. Everything
 # else (png/jpeg) goes through the PIL pool — the portable reference path.
 _NATIVE_EXTS = (".ppm", ".pgm", ".bmp")
@@ -219,19 +231,23 @@ class PolarimetricDataset:
 
 class SingleFolderDataset:
     """Flat RGB image folder for inference/eval (test.py:81-94): deterministic order,
-    resize + /255, yields (B, H, W, 3)."""
+    resize + /255, yields (B, H, W, 3).
 
-    def __init__(self, directory: str, image_size: int, batch_size: int = 1,
-                 num_workers: int = 4, cache: bool = True):
+    image_size=None keeps each file at its ORIGINAL resolution (batches become
+    per-file (1, h, w, 3) — shapes vary, so no stacking/caching); pair with
+    infer.make_native_infer_fn."""
+
+    def __init__(self, directory: str, image_size: Optional[int],
+                 batch_size: int = 1, num_workers: int = 4, cache: bool = True):
         self.files = list_images(directory)
         if not self.files:
             raise FileNotFoundError(f"no images under {directory}")
         self.image_size = image_size
-        self.batch_size = batch_size
+        self.batch_size = batch_size if image_size is not None else 1
         self.num_workers = num_workers
         self._cache: Optional[np.ndarray] = None
         self.used_native_decode = False
-        if cache:
+        if cache and image_size is not None:
             self._cache, self.used_native_decode = decode_resize_batch(
                 self.files, image_size, num_workers=num_workers)
 
@@ -240,6 +256,10 @@ class SingleFolderDataset:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = len(self.files)
+        if self.image_size is None:
+            for f in self.files:
+                yield decode_original(f)[None]
+            return
         for b in range(0, n, self.batch_size):
             idx = list(range(b, min(b + self.batch_size, n)))
             if self._cache is not None:

@@ -154,6 +154,67 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
     return infer
 
 
+def bucket_shape(h: int, w: int, multiple: int = 16, bucket: int = 64):
+    """Round (h, w) up to the compile-cache bucket.
+
+    SpecSeg's U-Net pools 2x2 four times, so spatial extents must be divisible
+    by `multiple`=16 (the generator's two pools are subsumed). `bucket` rounds
+    further up so arbitrary photo sizes land on a small set of padded shapes —
+    each distinct shape is one XLA compilation (minutes over this deployment's
+    relay), so a 1013x757 and a 1024x760 photo share one executable at
+    bucket=64. bucket must itself be a multiple of `multiple`.
+    """
+    if bucket % multiple != 0:
+        raise ValueError(f"bucket {bucket} must be a multiple of {multiple}")
+    import math
+    return (max(bucket, math.ceil(h / bucket) * bucket),
+            max(bucket, math.ceil(w / bucket) * bucket))
+
+
+def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
+                         multiple: int = 16, bucket: int = 64):
+    """Arbitrary-resolution inference: fn(g_params, specseg_vars, rgb) with rgb
+    (B, h, w, 3) at ANY h, w — no square resize.
+
+    The reference's test path force-resizes every photograph to image_size
+    (test.py:81-94 via its 256x256 dataset loader), destroying detail and
+    aspect ratio. G and SpecSeg are fully convolutional (the 128->256 warm
+    start transfers every conv leaf), so the only real constraint is
+    divisibility for the U-Net's pooling — handled here by reflect-padding up
+    to the bucketed shape and cropping every output back. Reflection keeps the
+    per-image standardization statistics representative (an edge smear or zero
+    fill would bias stats.stddev, which scales the calibrated output).
+
+    Returns numpy arrays (host-side crop); batches must share one (h, w).
+    """
+    import numpy as np
+
+    infer = make_infer_fn(cfg, with_cyclic=with_cyclic)
+
+    def run(g_params, specseg_vars, rgb) -> Dict[str, "np.ndarray"]:
+        rgb = np.asarray(rgb, np.float32)
+        _, h, w, _ = rgb.shape
+        ph, pw = bucket_shape(h, w, multiple=multiple, bucket=bucket)
+        if (ph, pw) != (h, w):
+            # numpy reflect requires pad < dim; fall back to edge replication
+            # for the (tiny-image, big-bucket) corner
+            mode = "reflect" if (ph - h) < h and (pw - w) < w else "edge"
+            rgb_p = np.pad(rgb, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                           mode=mode)
+        else:
+            rgb_p = rgb
+        out = infer(g_params, specseg_vars, jnp.asarray(rgb_p))
+        cropped = {}
+        for k, v in out.items():
+            a = np.asarray(v)
+            # spatial axes are always the two before the channel axis
+            # ((B,H,W,C) and cyc's (5,B,H,W,C))
+            cropped[k] = a[..., :h, :w, :]
+        return cropped
+
+    return run
+
+
 def make_mask_fn(cfg: Config):
     """SpecSeg-only inference: RGB -> specular mask (BASELINE config 1)."""
     _gen, _disc, specseg = build_models(cfg)

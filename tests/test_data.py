@@ -102,6 +102,22 @@ class TestSingleFolder:
         assert batches[0].shape == (3, 20, 20, 3)
         assert batches[1].shape == (1, 20, 20, 3)
 
+    def test_native_resolution_mode(self, tmp_path):
+        # image_size=None: each file at its ORIGINAL size, one per batch,
+        # regardless of batch_size (shapes vary across files)
+        from PIL import Image
+        d = tmp_path / "nat"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for name, (h, w) in (("a.png", (17, 33)), ("b.png", (40, 24))):
+            Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                         dtype=np.uint8)).save(str(d / name))
+        ds = SingleFolderDataset(str(d), image_size=None, batch_size=4)
+        batches = list(ds)
+        assert [b.shape for b in batches] == [(1, 17, 33, 3), (1, 40, 24, 3)]
+        assert all(b.dtype == np.float32 for b in batches)
+        assert batches[0].max() <= 1.0 and batches[0].min() >= 0.0
+
 
 class TestDevicePrefetcher:
     def test_yields_all_batches(self):

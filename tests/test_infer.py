@@ -70,6 +70,67 @@ class TestInfer:
                                    np.asarray(yuv_in[..., 1:]), atol=2e-5)
 
 
+class TestNativeResolution:
+    """Arbitrary-resolution inference (infer.make_native_infer_fn): reflect-pad
+    to a bucketed shape, run the fused graph, crop every output back. The
+    reference force-resizes all photos to a square (test.py:81-94)."""
+
+    def test_bucket_shape(self):
+        from shmgan_tpu.infer import bucket_shape
+        assert bucket_shape(1013, 757, 16, 64) == (1024, 768)
+        assert bucket_shape(64, 64, 16, 64) == (64, 64)
+        assert bucket_shape(5, 9, 16, 64) == (64, 64)
+        assert bucket_shape(24, 40, 16, 16) == (32, 48)
+        with pytest.raises(ValueError):
+            bucket_shape(10, 10, 16, 60)  # bucket not a multiple of 16
+
+    def test_outputs_cropped_to_input(self, setup):
+        from shmgan_tpu.infer import make_native_infer_fn
+        cfg, state, _ = setup
+        run = make_native_infer_fn(cfg, bucket=16)
+        rgb = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                            (1, 24, 40, 3)))
+        out = run(state.g_params, state.specseg_vars, rgb)
+        assert out["gen_rgb_calibrated"].shape == (1, 24, 40, 3)
+        assert out["gen_rgb_composited"].shape == (1, 24, 40, 3)
+        assert out["mask"].shape == (1, 24, 40, 1)
+        for v in out.values():
+            assert np.all(np.isfinite(v))
+
+    def test_aligned_input_matches_direct_infer(self, setup):
+        # an input already on the bucket grid takes the zero-pad path and must
+        # equal the plain jitted graph bit-for-bit
+        from shmgan_tpu.infer import make_native_infer_fn
+        cfg, state, _ = setup
+        rgb = np.asarray(jax.random.uniform(jax.random.PRNGKey(4),
+                                            (2, 32, 48, 3)))
+        direct = make_infer_fn(cfg)(state.g_params, state.specseg_vars,
+                                    jnp.asarray(rgb))
+        native = make_native_infer_fn(cfg, bucket=16)(
+            state.g_params, state.specseg_vars, rgb)
+        for k in native:
+            np.testing.assert_array_equal(native[k], np.asarray(direct[k]))
+
+    def test_cyclic_cropped(self, setup):
+        from shmgan_tpu.infer import make_native_infer_fn
+        cfg, state, _ = setup
+        run = make_native_infer_fn(cfg, with_cyclic=True, bucket=16)
+        rgb = np.asarray(jax.random.uniform(jax.random.PRNGKey(5),
+                                            (1, 24, 24, 3)))
+        out = run(state.g_params, state.specseg_vars, rgb)
+        assert out["cyc_rgb"].shape == (5, 1, 24, 24, 3)
+
+    def test_tiny_image_edge_fallback(self, setup):
+        # pad >= dim forces the edge-replication fallback (reflect would throw)
+        from shmgan_tpu.infer import make_native_infer_fn
+        cfg, state, _ = setup
+        run = make_native_infer_fn(cfg, bucket=64)
+        rgb = np.asarray(jax.random.uniform(jax.random.PRNGKey(6),
+                                            (1, 20, 20, 3)))
+        out = run(state.g_params, state.specseg_vars, rgb)
+        assert out["gen_rgb_calibrated"].shape == (1, 20, 20, 3)
+
+
 class TestEvalHarness:
     def test_identical_pair(self):
         x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
