@@ -92,6 +92,13 @@ def main(argv=None):
     if restored is None:
         raise SystemExit(f"no checkpoint under {a.ckpt_dir}")
     state = restored
+    if specseg_vars is not None:
+        # the checkpoint payload carries its own frozen specseg_vars, which
+        # restore() just wrote over the injected tree — put the override back
+        # (this is the whole point of --specseg_weights: A/B a different mask
+        # net, e.g. the domain-randomized retrain, under the same generator)
+        state = state.replace(specseg_vars=specseg_vars)
+        log(f"specseg override: {a.specseg_weights}")
     eval_g = (state.ema_g_params if a.use_ema and state.ema_g_params is not None
               else state.g_params)
     log(f"restored checkpoint step {int(state.step)}")
@@ -179,6 +186,14 @@ def main(argv=None):
         inter = (ref_mask_bin * our_mask_bin).sum()
         union = np.maximum(ref_mask_bin, our_mask_bin).sum()
         mask_iou = float(inter / max(union, 1.0))
+        # precision/recall against the reference masks diagnose the failure
+        # direction: the base curriculum's net over-fires on bright diffuse
+        # objects (low precision); a mask that misses true glints instead
+        # shows as low recall.
+        mask_precision = float(inter / max(our_mask_bin.sum(), 1.0))
+        mask_recall = float(inter / max(ref_mask_bin.sum(), 1.0))
+        mask_pred_frac = float(our_mask_bin.mean())
+        mask_ref_frac = float(ref_mask_bin.mean())
 
         # no-reference diagnostics: inside OUR dilated mask, luma should drop
         # (highlight removed); outside it, the composited output preserves the
@@ -203,8 +218,14 @@ def main(argv=None):
             }
             log(f"  {name}: luma drop in specular {drop:+.3f}, outside-mask "
                 f"PSNR vs input {psnr_out:.1f} dB")
-        log(f"  mask IoU vs reference SpecSeg masks: {mask_iou:.3f}")
+        log(f"  mask IoU vs reference SpecSeg masks: {mask_iou:.3f} "
+            f"(precision {mask_precision:.3f}, recall {mask_recall:.3f}; "
+            f"predicted frac {mask_pred_frac:.3f} vs ref {mask_ref_frac:.3f})")
         part_b = {"n": n, "mask_iou_vs_reference": round(mask_iou, 4),
+                  "mask_precision_vs_reference": round(mask_precision, 4),
+                  "mask_recall_vs_reference": round(mask_recall, 4),
+                  "mask_predicted_fraction": round(mask_pred_frac, 4),
+                  "mask_reference_fraction": round(mask_ref_frac, 4),
                   "per_output": stats,
                   "note": "no ground truth exists for these photographs; "
                           "specular_luma_drop should be positive (highlights "

@@ -1,0 +1,246 @@
+"""Domain-randomized SpecSeg curriculum — closing the real-photo transfer gap.
+
+Round-3 OOD audit (benchmarks/quality_ood, examples/ood_eval.py): the SpecSeg
+net trained on the base curriculum (synthetic_jax.py) over-fires on real
+photographs — mask IoU vs the reference's own published masks is 0.107, and
+the galleries show it labeling entire high-albedo objects (yellow chip bags,
+bright wood) as specular. Root cause: in the base curriculum every bright
+region IS specular (diffuse tops out at ~0.88 mid-tones), so the net learns a
+brightness threshold instead of the statistics that actually distinguish a
+highlight in a photograph (reference README.md:61-62; its SpecSeg was trained
+on real annotated data, specsegv3_chkpt.h5, absent from this deployment).
+
+This module keeps the base physical model but randomizes exactly the axes
+whose absence caused the shortcut:
+
+  * bright-but-DIFFUSE distractors, labeled 0: large soft regions screen-
+    blended toward white. Texture edges survive inside them (a printed bag
+    stays a printed bag) — the cue that separates high albedo from a
+    highlight, which ADDS light and washes texture out to clipping.
+  * four texture families (multi-octave value noise, Voronoi flats, stripes,
+    linear gradients) instead of one, so texture statistics carry no label
+    information.
+  * speculars with randomized edge profiles: per-lobe super-Gaussian exponent
+    p ~ U[1,6] (soft lobes through hard plateaus), aspect up to 6 (elongated
+    bar glints), optional bloom skirt, amplitudes that CLIP — real photo
+    highlights are saturated.
+  * photometric randomization: exposure, gamma, vignette, additive sensor
+    noise — none of which may move the label.
+
+Labels keep the base semantics (mask = spec_field > 0.25) so the IoU metric
+is comparable across curricula. Everything is shape-static and jit/vmap-safe
+(lax.switch over texture families, fixed MAX_* counts with amplitude
+masking), generated on device like the base stream (see synthetic_jax.py for
+why host feeding is not an option on this deployment).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from shmgan_tpu.data.synthetic_jax import smooth_noise, synth_specseg_batch
+
+MAX_LOBES = 7        # same ceiling as the base curriculum
+MAX_DISTRACTORS = 3  # bright diffuse regions per scene (0..3 active)
+N_VORONOI = 16       # static cell count; inactive cells get duplicate seeds
+
+# ---------------------------------------------------------------------------
+# Texture families (h, w, 3) in [0, 1] — label-free by construction
+# ---------------------------------------------------------------------------
+
+
+def _tex_value_noise(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """Base-curriculum texture, but spanning a wider albedo range (to ~0.95)."""
+    k_n, k_lo, k_hi = jax.random.split(key, 3)
+    lo = jax.random.uniform(k_lo, (), minval=0.02, maxval=0.25)
+    hi = jax.random.uniform(k_hi, (), minval=0.6, maxval=0.97)
+    return lo + (hi - lo) * smooth_noise(k_n, h, w, 3)
+
+
+def _tex_voronoi(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """Piecewise-flat colored cells (static N_VORONOI seeds)."""
+    k_y, k_x, k_c = jax.random.split(key, 3)
+    cy = jax.random.uniform(k_y, (N_VORONOI,), minval=0.0, maxval=1.0) * h
+    cx = jax.random.uniform(k_x, (N_VORONOI,), minval=0.0, maxval=1.0) * w
+    colors = jax.random.uniform(k_c, (N_VORONOI, 3), minval=0.05, maxval=0.95)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    d2 = ((yy.astype(jnp.float32)[..., None] - cy) ** 2
+          + (xx.astype(jnp.float32)[..., None] - cx) ** 2)   # (h, w, N)
+    return colors[jnp.argmin(d2, axis=-1)]
+
+
+def _tex_stripes(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    k_t, k_p, k_c0, k_c1 = jax.random.split(key, 4)
+    theta = jax.random.uniform(k_t, (), minval=0.0, maxval=jnp.pi)
+    period = jax.random.uniform(k_p, (), minval=0.08, maxval=0.35) * min(h, w)
+    c0 = jax.random.uniform(k_c0, (3,), minval=0.05, maxval=0.92)
+    c1 = jax.random.uniform(k_c1, (3,), minval=0.05, maxval=0.92)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    phase = (xx * jnp.cos(theta) + yy * jnp.sin(theta)) / period
+    t = (jnp.sin(2 * jnp.pi * phase) > 0).astype(jnp.float32)[..., None]
+    return c0 * t + c1 * (1.0 - t)
+
+
+def _tex_gradient(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    k_t, k_c0, k_c1 = jax.random.split(key, 3)
+    theta = jax.random.uniform(k_t, (), minval=0.0, maxval=2 * jnp.pi)
+    c0 = jax.random.uniform(k_c0, (3,), minval=0.03, maxval=0.95)
+    c1 = jax.random.uniform(k_c1, (3,), minval=0.03, maxval=0.95)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    proj = (xx * jnp.cos(theta) + yy * jnp.sin(theta)).astype(jnp.float32)
+    t = ((proj - proj.min()) / jnp.maximum(proj.max() - proj.min(), 1e-6))
+    return (c0 + t[..., None] * (c1 - c0))
+
+
+def _texture(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    k_pick, k_tex = jax.random.split(key)
+    idx = jax.random.randint(k_pick, (), 0, 4)
+    return jax.lax.switch(idx, [
+        lambda k: _tex_value_noise(k, h, w),
+        lambda k: _tex_voronoi(k, h, w),
+        lambda k: _tex_stripes(k, h, w),
+        lambda k: _tex_gradient(k, h, w),
+    ], k_tex)
+
+
+# ---------------------------------------------------------------------------
+# Bright diffuse distractors (label 0) and DR specular field (label 1)
+# ---------------------------------------------------------------------------
+
+
+def _soft_regions(key: jax.Array, h: int, w: int, n_max: int,
+                  sig_lo: float, sig_hi: float, p_lo: float, p_hi: float,
+                  n_active: jax.Array) -> jnp.ndarray:
+    """(n_max, h, w) super-Gaussian region weights in [0,1]; rows >= n_active
+    are zeroed (static-shape analogue of a variable count)."""
+    ks = jax.random.split(key, 6)
+    cy = jax.random.uniform(ks[0], (n_max,), minval=0.05, maxval=0.95) * h
+    cx = jax.random.uniform(ks[1], (n_max,), minval=0.05, maxval=0.95) * w
+    sig_a = jax.random.uniform(ks[2], (n_max,), minval=sig_lo,
+                               maxval=sig_hi) * min(h, w)
+    aspect = jax.random.uniform(ks[3], (n_max,), minval=1.0, maxval=6.0)
+    sig_b = jnp.maximum(sig_a / aspect, 0.6)
+    theta = jax.random.uniform(ks[4], (n_max,), minval=0.0, maxval=jnp.pi)
+    p = jax.random.uniform(ks[5], (n_max,), minval=p_lo, maxval=p_hi)
+
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    yy = yy.astype(jnp.float32)[None]
+    xx = xx.astype(jnp.float32)[None]
+    ct = jnp.cos(theta)[:, None, None]
+    st = jnp.sin(theta)[:, None, None]
+    dy = yy - cy[:, None, None]
+    dx = xx - cx[:, None, None]
+    u = dx * ct + dy * st
+    v = -dx * st + dy * ct
+    r = (u / sig_a[:, None, None]) ** 2 + (v / sig_b[:, None, None]) ** 2
+    regions = jnp.exp(-0.5 * r ** (p[:, None, None] / 2.0))
+    active = (jnp.arange(n_max) < n_active)[:, None, None]
+    return regions * active
+
+
+def specular_field_dr(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """Randomized-edge-profile specular field (h, w).
+
+    Differences from synthetic_jax.specular_field: per-lobe super-Gaussian
+    exponent (soft Gaussian .. hard plateau), aspect up to 6, amplitudes up
+    to 3 (the composited camera CLIPS — saturated cores like photo
+    highlights), and an optional exponent-1 bloom skirt at 3x the radius.
+    """
+    k_n, k_reg, k_amp, k_bloom = jax.random.split(key, 4)
+    n = jax.random.randint(k_n, (), 1, MAX_LOBES + 1)
+    regions = _soft_regions(k_reg, h, w, MAX_LOBES,
+                            sig_lo=0.015, sig_hi=0.11, p_lo=1.0, p_hi=6.0,
+                            n_active=n)
+    amp = jax.random.uniform(k_amp, (MAX_LOBES,), minval=0.6, maxval=3.0)
+    bloom = jax.random.uniform(k_bloom, (MAX_LOBES,), minval=0.0, maxval=0.18)
+    # bloom skirt: a wide soft halo around the same center. regions**(1/9)
+    # rescales the super-Gaussian argument by 9 => ~3x the radius, and pushes
+    # the profile toward exponent-1 softness regardless of the core's p.
+    skirt = regions ** (1.0 / 9.0)
+    field = (amp[:, None, None] * regions
+             + (amp * bloom)[:, None, None] * skirt)
+    return jnp.sum(field, axis=0)
+
+
+def synth_scene_dr(key: jax.Array, h: int, w: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DR scene -> (camera (h,w,3) in [0,1], mask (h,w,1)).
+
+    camera = clip(photometrics(texture + bright distractors) + specular);
+    the label is the specular field alone — distractors and photometric
+    randomization must not move it.
+    """
+    (k_tex, k_nd, k_dreg, k_ds, k_spec, k_tint, k_exp, k_gam, k_vig,
+     k_nsig, k_noise) = jax.random.split(key, 11)
+
+    base = _texture(k_tex, h, w)
+
+    # bright diffuse distractors: screen-blend toward white. Texture detail
+    # survives inside (darker texels stay relatively darker) — the
+    # anti-shortcut signal this curriculum exists for.
+    n_d = jax.random.randint(k_nd, (), 0, MAX_DISTRACTORS + 1)
+    dreg = _soft_regions(k_dreg, h, w, MAX_DISTRACTORS,
+                         sig_lo=0.12, sig_hi=0.45, p_lo=1.0, p_hi=4.0,
+                         n_active=n_d)
+    strength = jax.random.uniform(k_ds, (MAX_DISTRACTORS,),
+                                  minval=0.45, maxval=0.9)
+    v = jnp.clip(jnp.sum(dreg * strength[:, None, None], axis=0), 0.0, 0.95)
+    base = 1.0 - (1.0 - base) * (1.0 - v[..., None])
+
+    # photometrics on the DIFFUSE scene (exposure/gamma/vignette), then the
+    # ADDITIVE specular, then sensor noise on the composite.
+    exposure = jax.random.uniform(k_exp, (), minval=0.75, maxval=1.15)
+    gamma = jax.random.uniform(k_gam, (), minval=0.75, maxval=1.4)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    r2 = (((yy / h - 0.5) ** 2 + (xx / w - 0.5) ** 2) / 0.5).astype(jnp.float32)
+    vig = 1.0 - jax.random.uniform(k_vig, (), minval=0.0, maxval=0.35) * r2
+    diffuse = jnp.clip(base * exposure * vig[..., None], 0.0, 1.0) ** gamma
+
+    spec = specular_field_dr(k_spec, h, w)
+    tint = 1.0 - jax.random.uniform(k_tint, (3,), minval=0.0, maxval=0.08)
+    camera = diffuse + spec[..., None] * tint
+
+    nsig = jax.random.uniform(k_nsig, (), minval=0.0, maxval=0.02)
+    camera = camera + nsig * jax.random.normal(k_noise, camera.shape)
+    camera = jnp.clip(camera, 0.0, 1.0)
+
+    mask = (spec > 0.25).astype(jnp.float32)[..., None]
+    return camera, mask
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "h", "w", "base_mix"))
+def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
+                           base_mix: float = 0.5
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(standardized Y (B,h,w,1), mask (B,h,w,1)) mixing both curricula.
+
+    floor(batch * base_mix) samples come from the base curriculum's 5-domain
+    pick (synthetic_jax.synth_specseg_batch — keeps the GAN's own training
+    domains covered so the in-graph train step sees no regression), the rest
+    from DR camera scenes standardized identically (the single-RGB photo
+    inference domain, reference test.py:21-39).
+    """
+    from shmgan_tpu.ops.color import rgb_to_yuv
+    from shmgan_tpu.ops.standardize import per_image_standardization
+
+    n_base = int(batch * base_mix)
+    n_dr = batch - n_base
+    k_base, k_dr = jax.random.split(key)
+
+    parts_y, parts_m = [], []
+    if n_base > 0:
+        y_b, m_b = synth_specseg_batch(k_base, n_base, h, w)
+        parts_y.append(y_b)
+        parts_m.append(m_b)
+    if n_dr > 0:
+        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w))(
+            jax.random.split(k_dr, n_dr))
+        y = rgb_to_yuv(cam)[..., 0:1]
+        y_std, _ = per_image_standardization(y)
+        parts_y.append(y_std)
+        parts_m.append(m_d)
+    return jnp.concatenate(parts_y), jnp.concatenate(parts_m)

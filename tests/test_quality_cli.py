@@ -54,6 +54,21 @@ class TestPallasInGating:
         assert m and "use_pallas_instance_norm=False" in m.group(1)
 
 
+class TestSpecsegCurriculumFlag:
+    def test_default_is_base(self):
+        qt = _load_quality_train()
+        a = qt.parse_args(["--phase", "specseg"])
+        assert a.specseg_curriculum == "base"
+        assert a.specseg_base_mix == 0.5
+
+    def test_dr_selects_mixed_batch_fn(self):
+        qt = _load_quality_train()
+        a = qt.parse_args(["--phase", "specseg", "--specseg_curriculum", "dr",
+                           "--specseg_base_mix", "0.25"])
+        assert a.specseg_curriculum == "dr"
+        assert a.specseg_base_mix == 0.25
+
+
 class TestBenchSnippetConfig:
     def test_scan_snippet_formats_with_pallas_key(self):
         sys.path.insert(0, REPO)
