@@ -1,0 +1,117 @@
+"""A/B two frozen SpecSeg nets on the reference figure's real photographs.
+
+The round-2 OOD artifact showed the base-curriculum SpecSeg transfers badly
+to real photos (mask IoU 0.107 vs the reference's own masks, precision-limited
+— it fires on bright diffuse regions). data/synthetic_dr.py is the attack;
+this script measures whether a retrained net actually moves the needle,
+WITHOUT needing a generator checkpoint (SpecSeg-only inference via
+shmgan_tpu.infer.make_mask_fn).
+
+Reference behavior being matched: the frozen specsegv3 mask stage of the
+reference pipeline (ShmGANwithSSpecSeg.py:930-931, test.py:21-39) on
+arbitrary single RGB photographs.
+
+Usage:
+  python examples/mask_ab.py \
+      --nets base=benchmarks/quality_r2/specseg_synth.msgpack \
+             dr=benchmarks/quality_r3_dr/specseg_dr.msgpack \
+      --out benchmarks/quality_r3_dr/mask_ab.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nets", nargs="+", required=True,
+                   help="name=path.msgpack pairs")
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--specseg_base_filters", type=int, default=16)
+    p.add_argument("--ood_n", type=int, default=64,
+                   help="synthetic-OOD scenes for the GT-mask IoU column")
+    p.add_argument("--out", type=str, default="benchmarks/quality_r3_dr/mask_ab.json")
+    p.add_argument("--cpu", action="store_true")
+    a = p.parse_args(argv)
+
+    if a.cpu:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    from shmgan_tpu.checkpoint import load_specseg_weights
+    from shmgan_tpu.config import Config
+    from shmgan_tpu.data.ood import reference_photo_crops, synth_ood_set
+    from shmgan_tpu.infer import make_mask_fn
+
+    cfg = Config()
+    cfg.model = dataclasses.replace(
+        cfg.model, image_size=a.image_size,
+        specseg_base_filters=a.specseg_base_filters, compute_dtype="float32")
+    mask_fn = make_mask_fn(cfg)
+    log(f"backend: {jax.default_backend()}")
+
+    crops = reference_photo_crops(a.image_size)
+    ood_in, _, ood_mask = synth_ood_set(a.ood_n, a.image_size, seed=4242)
+
+    def iou_pr(pred, ref, thresh=0.5):
+        pb = (pred > thresh).astype(np.float32)
+        rb = (ref > 0.5).astype(np.float32)
+        inter = float((pb * rb).sum())
+        union = float(np.maximum(pb, rb).sum())
+        return {"iou": round(inter / max(union, 1.0), 4),
+                "precision": round(inter / float(max(pb.sum(), 1.0)), 4),
+                "recall": round(inter / float(max(rb.sum(), 1.0)), 4),
+                "pred_fraction": round(float(pb.mean()), 4)}
+
+    results = {}
+    for spec in a.nets:
+        name, path = spec.split("=", 1)
+        vars_ = load_specseg_weights(path, base_filters=a.specseg_base_filters,
+                                     image_size=a.image_size)
+        row = {"weights": path}
+        ood_pred = np.asarray(mask_fn(vars_, jnp.asarray(ood_in)))
+        row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
+        if crops is not None:
+            ph_pred = np.asarray(mask_fn(vars_, jnp.asarray(crops["inputs"])))
+            row["real_photos_vs_reference_masks"] = iou_pr(
+                ph_pred, crops["ref_masks"])
+            # operating-curve diagnostic: where does the IoU peak sit? (a net
+            # whose best threshold is far from 0.5 is mis-calibrated, one whose
+            # peak IoU is low is mis-shaped)
+            row["photo_iou_by_threshold"] = {
+                str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
+                for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
+        results[name] = row
+        log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
+            f"photo={row.get('real_photos_vs_reference_masks')}")
+
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+    with open(a.out, "w") as f:
+        json.dump({"image_size": a.image_size,
+                   "ref_mask_fraction": (round(float(
+                       (crops["ref_masks"] > 0.5).mean()), 4)
+                       if crops is not None else None),
+                   "nets": results}, f, indent=1)
+    log(f"wrote {a.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
