@@ -301,15 +301,28 @@ def load_specseg_weights(path: str, base_filters: int = 16,
 # msgpack of {g_params, specseg_vars} + a tiny json header with the model
 # hyperparameters needed to rebuild the graph.
 
-def export_inference_bundle(state, cfg, path: str) -> None:
+def export_inference_bundle(state, cfg, path: str,
+                            store_dtype: Optional[str] = None) -> None:
     """Write a serving bundle from a TrainState: <path> (msgpack) and
-    <path>.json (model config header)."""
+    <path>.json (model config header).
+
+    store_dtype="float16" halves the artifact (the weights are [-?, ?]-scale
+    conv kernels; fp16's 2^-24 resolution is far below their train-time
+    noise floor) — used to keep a deployable flagship INSIDE the repo, which
+    is the only storage that survives environment resets on this deployment.
+    load_inference_bundle casts floats back to float32."""
     import json
 
     import flax.serialization
 
     payload = {"g_params": jax.device_get(state.g_params),
                "specseg_vars": jax.device_get(state.specseg_vars)}
+    if store_dtype is not None:
+        dt = np.dtype(store_dtype)
+        payload = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            payload)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(payload))
@@ -322,6 +335,8 @@ def export_inference_bundle(state, cfg, path: str) -> None:
               # bytes load either way — the header is what keeps the serving
               # graph on the op the weights were trained for
               "upsample_mode": cfg.model.upsample_mode}
+    if store_dtype is not None:
+        header["store_dtype"] = str(store_dtype)
     with open(path + ".json", "w") as f:
         json.dump(header, f, indent=1)
 
@@ -363,6 +378,12 @@ def load_inference_bundle(path: str):
                                       jax.eval_shape(init))
     with open(path, "rb") as f:
         loaded = flax.serialization.from_bytes(template, f.read())
+    if header.get("store_dtype"):
+        # compact bundles store floats in a narrower dtype; compute stays f32
+        loaded = jax.tree_util.tree_map(
+            lambda x: x.astype(np.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            loaded)
     return loaded["g_params"], loaded["specseg_vars"], header
 
 

@@ -178,7 +178,8 @@ def run_export(cfg: Config):
 
     state = _restored_state(cfg)
     path = os.path.join(cfg.train.model_save_dir, "shmgan_infer.msgpack")
-    export_inference_bundle(state, cfg, path)
+    export_inference_bundle(state, cfg, path,
+                            store_dtype=cfg.eval.export_dtype or None)
     size_mb = os.path.getsize(path) / 1e6
     print(f"[export] wrote {path} ({size_mb:.1f} MB, step {int(state.step)})")
 

@@ -213,6 +213,9 @@ class EvalConfig:
     # shape, crop back — infer.make_native_infer_fn) instead of the
     # reference's forced square resize (test.py:81-94). Batch is per-file.
     native_resolution: bool = False
+    # storage dtype for --mode export bundles ("" = keep the train dtype;
+    # "float16" halves the artifact — loads cast back to float32)
+    export_dtype: str = ""
 
 
 @dataclass
@@ -293,6 +296,10 @@ class Config:
         p.add_argument("--native_resolution", type=_strtobool, default=False,
                        help="test-mode inference at each photo's own "
                             "resolution (no square resize)")
+        p.add_argument("--export_dtype", type=str, default="",
+                       choices=["", "float16", "bfloat16"],
+                       help="storage dtype for --mode export bundles "
+                            "(halves the artifact; loads cast to float32)")
         p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
@@ -331,7 +338,8 @@ class Config:
         cfg.eval = dataclasses.replace(
             cfg.eval, calc_metrics=a.calc_metrics,
             specseg_weights=a.specseg_weights, use_ema=a.use_ema,
-            native_resolution=a.native_resolution)
+            native_resolution=a.native_resolution,
+            export_dtype=a.export_dtype)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,

@@ -241,6 +241,37 @@ class TestInferenceBundle:
         _, _, header = load_inference_bundle(path)
         assert header.get("upsample_mode", "conv_transpose") == "conv_transpose"
 
+    def test_fp16_bundle_halves_size_and_stays_accurate(self, tmp_path):
+        """store_dtype=float16 bundles: half the bytes, floats come back as
+        float32 at load, and inference agrees to fp16-quantization tolerance
+        (the durable-in-repo flagship artifact relies on this)."""
+        from shmgan_tpu.checkpoint import (export_inference_bundle,
+                                           load_inference_bundle)
+        from shmgan_tpu.infer import make_infer_fn
+
+        cfg = small_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        p32 = str(tmp_path / "b32.msgpack")
+        p16 = str(tmp_path / "b16.msgpack")
+        export_inference_bundle(state, cfg, p32)
+        export_inference_bundle(state, cfg, p16, store_dtype="float16")
+        assert os.path.getsize(p16) < 0.6 * os.path.getsize(p32)
+
+        g_params, ss_vars, header = load_inference_bundle(p16)
+        assert header["store_dtype"] == "float16"
+        assert all(np.asarray(x).dtype == np.float32
+                   for x in jax.tree_util.tree_leaves(g_params)
+                   if np.issubdtype(np.asarray(x).dtype, np.floating))
+        infer = make_infer_fn(cfg)
+        rgb = jax.random.uniform(jax.random.PRNGKey(1),
+                                 (1, cfg.model.image_size,
+                                  cfg.model.image_size, 3))
+        a = infer(state.g_params, state.specseg_vars, rgb)
+        b = infer(g_params, ss_vars, rgb)
+        np.testing.assert_allclose(np.asarray(a["gen_rgb_calibrated"]),
+                                   np.asarray(b["gen_rgb_calibrated"]),
+                                   atol=5e-2)
+
     def test_bundle_smaller_than_checkpoint_state(self, tmp_path):
         from shmgan_tpu.checkpoint import export_inference_bundle
 
