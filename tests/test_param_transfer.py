@@ -67,3 +67,48 @@ def test_same_size_transfer_is_identity_copy():
     for m, o in zip(jax.tree_util.tree_leaves(merged),
                     jax.tree_util.tree_leaves(a.g_params)):
         np.testing.assert_array_equal(np.asarray(m), np.asarray(o))
+
+
+def test_bundle_warm_start_across_sizes(tmp_path):
+    """--init_from_bundle path: an exported inference bundle (fp16 store)
+    warm-starts G at a different image size leaf-for-leaf, exactly as the
+    checkpoint-dir warm start does (quality_train.py run_gan_phase)."""
+    from shmgan_tpu.checkpoint import (export_inference_bundle,
+                                       load_inference_bundle)
+
+    s32 = create_train_state(cfg_at(32), jax.random.PRNGKey(0))
+    path = str(tmp_path / "bundle.msgpack")
+    export_inference_bundle(s32, cfg_at(32), path, store_dtype="float16")
+
+    g_loaded, ss_loaded, hdr = load_inference_bundle(path)
+    assert hdr["image_size"] == 32 and hdr["store_dtype"] == "float16"
+
+    s64 = create_train_state(cfg_at(64), jax.random.PRNGKey(1))
+    merged, kept, fresh = transfer_matching_params(s64.g_params, g_loaded)
+    assert fresh == 0  # G fully convolutional -> size-agnostic
+    assert kept == len(jax.tree_util.tree_leaves(s64.g_params))
+    # round-trip exact up to the fp16 store cast
+    for m, o in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(s32.g_params)):
+        np.testing.assert_array_equal(
+            np.asarray(m), np.asarray(o).astype(np.float16).astype(np.float32))
+
+
+def test_bundle_warm_start_cli_wiring():
+    """Flag exists, defaults off, and the upsample-mode guard is present (a
+    mismatched bundle must fail loudly: both modes share one param tree, so
+    it would otherwise load silently into the wrong op)."""
+    import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "quality_train", os.path.join(repo, "examples", "quality_train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = mod.parse_args(["--phase", "gan"])
+    assert a.init_from_bundle == ""
+    a = mod.parse_args(["--phase", "gan", "--init_from_bundle", "x.msgpack"])
+    assert a.init_from_bundle == "x.msgpack"
+    src = open(os.path.join(repo, "examples", "quality_train.py")).read()
+    assert "mutually exclusive" in src
+    assert "upsample_mode to match" in src
