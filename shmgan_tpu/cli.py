@@ -157,8 +157,9 @@ def run_serve(cfg: Config):
     g_params, specseg_vars = _serving_weights(cfg)
     if cfg.serve.watch_dir:
         from shmgan_tpu.serve import BatchInferenceEngine
-        eng = BatchInferenceEngine(cfg, g_params, specseg_vars,
-                                   batch_size=cfg.serve.batch_size)
+        eng = BatchInferenceEngine(
+            cfg, g_params, specseg_vars, batch_size=cfg.serve.batch_size,
+            native_resolution=cfg.eval.native_resolution)
         print(f"[serve] watching {cfg.serve.watch_dir} -> {cfg.train.result_dir}")
         eng.watch_folder(cfg.serve.watch_dir, cfg.train.result_dir)
     else:

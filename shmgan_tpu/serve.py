@@ -23,16 +23,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from shmgan_tpu.config import Config
-from shmgan_tpu.data.loader import decode_resize, list_images
-from shmgan_tpu.infer import make_infer_fn
+from shmgan_tpu.data.loader import decode_original, decode_resize, list_images
+from shmgan_tpu.infer import make_infer_fn, make_native_infer_fn
 
 
 class BatchInferenceEngine:
     def __init__(self, cfg: Config, g_params, specseg_vars, batch_size: int = 8,
-                 with_cyclic: bool = False, num_io_workers: int = 4):
+                 with_cyclic: bool = False, num_io_workers: int = 4,
+                 native_resolution: bool = False):
         self.cfg = cfg
         self.batch_size = batch_size
         self.image_size = cfg.model.image_size
+        # native_resolution serves each photo at its own size (reflect-pad to
+        # a bucketed shape + crop, like test-mode --native_resolution) instead
+        # of the reference's forced square resize (test.py:81-94). One XLA
+        # compile per (bucketed shape, chunk size) — bucketing bounds the set.
+        self.native_resolution = native_resolution
+        self._native = (make_native_infer_fn(cfg, with_cyclic=with_cyclic)
+                        if native_resolution else None)
         self._infer = make_infer_fn(cfg, with_cyclic=with_cyclic)
         # weights stay resident on device for the engine's lifetime
         self._g_params = jax.device_put(g_params)
@@ -45,7 +53,12 @@ class BatchInferenceEngine:
         relay). Idempotent — the jit cache makes repeat calls free."""
         dummy = np.zeros((self.batch_size, self.image_size, self.image_size, 3),
                          np.float32)
-        self.process_images(dummy)
+        if self.native_resolution:
+            # warm the native path's cache at the square bucket; other buckets
+            # still compile on first sight (unavoidable — shapes are static)
+            self.process_images_native(list(dummy))
+        else:
+            self.process_images(dummy)
 
     # -- core ---------------------------------------------------------------
 
@@ -72,6 +85,38 @@ class BatchInferenceEngine:
                          np.asarray(v)
                          for k, v in out.items()})
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def process_images_native(self, images) -> list:
+        """List of (h, w, 3) float32 [0,1] arrays (ANY sizes) -> list of
+        per-image output dicts, order-preserving.
+
+        Images are grouped by exact (h, w); each group runs through the
+        native-resolution inference in chunks of the compiled batch size
+        (padded with zeros, trimmed after), so the jit cache is keyed only on
+        (bucketed shape, batch) — a folder of same-camera photos compiles
+        once."""
+        if self._native is None:
+            raise RuntimeError("engine was built with native_resolution=False")
+        groups: Dict[tuple, list] = {}
+        for idx, img in enumerate(images):
+            groups.setdefault(img.shape[:2], []).append(idx)
+        results: list = [None] * len(images)
+        for _hw, idxs in groups.items():
+            stack = np.stack([images[i] for i in idxs])
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = stack[c0:c0 + self.batch_size]
+                real = chunk.shape[0]
+                if real < self.batch_size:
+                    pad = np.zeros((self.batch_size - real,) + chunk.shape[1:],
+                                   chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+                out = self._native(self._g_params, self._specseg_vars, chunk)
+                for j in range(real):
+                    results[idxs[c0 + j]] = {
+                        k: v[j] if np.ndim(v) and
+                        np.shape(v)[0] == self.batch_size else v
+                        for k, v in out.items()}
+        return results
 
     # -- folder jobs ----------------------------------------------------------
 
@@ -114,6 +159,8 @@ class BatchInferenceEngine:
             return []
         def _try_decode(p):
             try:
+                if self.native_resolution:
+                    return decode_original(p)
                 return decode_resize(p, self.image_size)
             except Exception:
                 return None
@@ -122,8 +169,14 @@ class BatchInferenceEngine:
         if not ok:
             return []
         ok_files = [f for f, _ in ok]
-        out = self.process_images(np.stack([d for _, d in ok]))
-        self._save_outputs(out, ok_files, out_dir, save_mask)
+        if self.native_resolution:
+            outs = self.process_images_native([d for _, d in ok])
+            for f, out in zip(ok_files, outs):
+                self._save_outputs({k: v[None] for k, v in out.items()},
+                                   [f], out_dir, save_mask)
+        else:
+            out = self.process_images(np.stack([d for _, d in ok]))
+            self._save_outputs(out, ok_files, out_dir, save_mask)
         return ok_files
 
     def watch_folder(self, in_dir: str, out_dir: str, poll_s: float = 1.0,

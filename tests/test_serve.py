@@ -161,3 +161,62 @@ def test_watch_folder_corrupt_file_does_not_spin(tmp_path, monkeypatch):
     # iterations 1.. see the stable-but-undecodable file; every one of them
     # must back off instead of spinning
     assert len(sleeps) == 5
+
+
+class TestNativeResolutionServing:
+    """Native-resolution serving (`--mode serve --native_resolution true`):
+    each photo at its own size via reflect-pad-to-bucket + crop, instead of
+    the reference's forced square resize (test.py:81-94)."""
+
+    @pytest.fixture(scope="class")
+    def native_engine(self):
+        cfg = Config()
+        cfg.model = dataclasses.replace(cfg.model, image_size=32,
+                                        filter_size=8, specseg_base_filters=4)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        return BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                                    batch_size=2, native_resolution=True)
+
+    def test_mixed_sizes_keep_shapes_and_order(self, native_engine):
+        rng = np.random.default_rng(3)
+        sizes = [(40, 56), (32, 32), (40, 56), (24, 48), (40, 56)]
+        imgs = [rng.uniform(0, 1, s + (3,)).astype(np.float32) for s in sizes]
+        outs = native_engine.process_images_native(imgs)
+        assert len(outs) == len(imgs)
+        for img, out in zip(imgs, outs):
+            assert out["gen_rgb_calibrated"].shape == img.shape
+            assert out["mask"].shape == img.shape[:2] + (1,)
+
+    def test_grouped_equals_solo(self, native_engine):
+        """Group batching (pad to engine batch, trim) must not change any
+        image's output vs running it alone."""
+        rng = np.random.default_rng(4)
+        imgs = [rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+                for _ in range(3)]
+        grouped = native_engine.process_images_native(imgs)
+        solo = native_engine.process_images_native([imgs[2]])
+        np.testing.assert_allclose(grouped[2]["gen_rgb"],
+                                   solo[0]["gen_rgb"], rtol=1e-4, atol=1e-5)
+
+    def test_folder_job_preserves_native_sizes(self, native_engine, tmp_path):
+        from PIL import Image
+        in_dir = tmp_path / "nat_in"
+        in_dir.mkdir()
+        rng = np.random.default_rng(5)
+        sizes = {"a.png": (40, 56), "b.png": (32, 32)}
+        for name, (h, w) in sizes.items():
+            arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(in_dir / name)
+        out_dir = str(tmp_path / "nat_out")
+        n = native_engine.process_folder(str(in_dir), out_dir)
+        assert n == 2
+        for name, (h, w) in sizes.items():
+            stem = os.path.splitext(name)[0]
+            out = Image.open(os.path.join(out_dir, f"{stem}_specfree.png"))
+            assert out.size == (w, h)  # PIL size is (w, h)
+            mask = Image.open(os.path.join(out_dir, f"{stem}_mask.png"))
+            assert mask.size == (w, h)
+
+    def test_square_engine_rejects_native_call(self, engine):
+        with pytest.raises(RuntimeError):
+            engine.process_images_native([np.zeros((32, 32, 3), np.float32)])
