@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--ood_n", type=int, default=64,
                    help="synthetic-OOD scenes for the GT-mask IoU column")
     p.add_argument("--out", type=str, default="benchmarks/quality_r3_dr/mask_ab.json")
+    p.add_argument("--tta", action="store_true",
+                   help="also report each net with dihedral mask TTA "
+                        "(rows named '<name>+tta')")
     p.add_argument("--cpu", action="store_true")
     a = p.parse_args(argv)
 
@@ -64,7 +67,9 @@ def main(argv=None):
     cfg.model = dataclasses.replace(
         cfg.model, image_size=a.image_size,
         specseg_base_filters=a.specseg_base_filters, compute_dtype="float32")
-    mask_fn = make_mask_fn(cfg)
+    mask_fns = {"": make_mask_fn(cfg)}
+    if a.tta:
+        mask_fns["+tta"] = make_mask_fn(cfg, tta=True)
     log(f"backend: {jax.default_backend()}")
 
     crops = reference_photo_crops(a.image_size)
@@ -82,25 +87,28 @@ def main(argv=None):
 
     results = {}
     for spec in a.nets:
-        name, path = spec.split("=", 1)
+        base_name, path = spec.split("=", 1)
         vars_ = load_specseg_weights(path, base_filters=a.specseg_base_filters,
                                      image_size=a.image_size)
-        row = {"weights": path}
-        ood_pred = np.asarray(mask_fn(vars_, jnp.asarray(ood_in)))
-        row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
-        if crops is not None:
-            ph_pred = np.asarray(mask_fn(vars_, jnp.asarray(crops["inputs"])))
-            row["real_photos_vs_reference_masks"] = iou_pr(
-                ph_pred, crops["ref_masks"])
-            # operating-curve diagnostic: where does the IoU peak sit? (a net
-            # whose best threshold is far from 0.5 is mis-calibrated, one whose
-            # peak IoU is low is mis-shaped)
-            row["photo_iou_by_threshold"] = {
-                str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
-                for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
-        results[name] = row
-        log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
-            f"photo={row.get('real_photos_vs_reference_masks')}")
+        for suffix, mask_fn in mask_fns.items():
+            name = base_name + suffix
+            row = {"weights": path, "tta": bool(suffix)}
+            ood_pred = np.asarray(mask_fn(vars_, jnp.asarray(ood_in)))
+            row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
+            if crops is not None:
+                ph_pred = np.asarray(mask_fn(vars_,
+                                             jnp.asarray(crops["inputs"])))
+                row["real_photos_vs_reference_masks"] = iou_pr(
+                    ph_pred, crops["ref_masks"])
+                # operating-curve diagnostic: where does the IoU peak sit? (a
+                # net whose best threshold is far from 0.5 is mis-calibrated,
+                # one whose peak IoU is low is mis-shaped)
+                row["photo_iou_by_threshold"] = {
+                    str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
+                    for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
+            results[name] = row
+            log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
+                f"photo={row.get('real_photos_vs_reference_masks')}")
 
     os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     with open(a.out, "w") as f:

@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--upsample_mode", choices=["conv_transpose", "resize_conv"],
                    default="conv_transpose")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--mask_tta", action="store_true",
+                   help="dihedral mask TTA in the inference graph")
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=4242)
     p.add_argument("--batch", type=int, default=8)
@@ -78,6 +80,8 @@ def main(argv=None):
         upsample_mode=a.upsample_mode)
     if a.use_ema:
         cfg.train = dataclasses.replace(cfg.train, g_ema=0.999)
+    if a.mask_tta:
+        cfg.eval = dataclasses.replace(cfg.eval, mask_tta=True)
     log(f"backend: {jax.default_backend()}")
 
     specseg_vars = None

@@ -54,6 +54,8 @@ def main(argv=None):
                    help="evaluate the EMA generator tree saved by a --g_ema "
                         "training run (falls back to raw params if the "
                         "checkpoint predates EMA)")
+    p.add_argument("--mask_tta", action="store_true",
+                   help="dihedral mask TTA in the inference graph")
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=999,
                    help="held-out scene seed (never used in training)")
@@ -88,6 +90,8 @@ def main(argv=None):
         # template needs the EMA slot for restore to pick it up (restore seeds
         # it from g_params when the checkpoint predates EMA)
         cfg.train = dataclasses.replace(cfg.train, g_ema=0.999)
+    if a.mask_tta:
+        cfg.eval = dataclasses.replace(cfg.eval, mask_tta=True)
     log(f"backend: {jax.default_backend()}")
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))

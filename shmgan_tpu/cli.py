@@ -159,7 +159,12 @@ def run_serve(cfg: Config):
         from shmgan_tpu.serve import BatchInferenceEngine
         eng = BatchInferenceEngine(
             cfg, g_params, specseg_vars, batch_size=cfg.serve.batch_size,
-            native_resolution=cfg.eval.native_resolution)
+            native_resolution=cfg.eval.native_resolution,
+            # the folder job writes exactly these two; the pruned graph skips
+            # the denorm/composited HBM writes
+            outputs=("gen_rgb_calibrated", "mask"),
+            # --data_parallel N shards each serving batch over n devices
+            data_parallel=cfg.mesh.data_parallel)
         print(f"[serve] watching {cfg.serve.watch_dir} -> {cfg.train.result_dir}")
         eng.watch_folder(cfg.serve.watch_dir, cfg.train.result_dir)
     else:

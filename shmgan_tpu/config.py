@@ -213,6 +213,11 @@ class EvalConfig:
     # shape, crop back — infer.make_native_infer_fn) instead of the
     # reference's forced square resize (test.py:81-94). Batch is per-file.
     native_resolution: bool = False
+    # average SpecSeg probabilities over the dihedral views (flips, +
+    # transposes when square) in every inference path — one k*B-batched
+    # forward. Symmetrizes orientation bias the synthetic curriculum bakes in
+    # (the round-3 real-photo OOD gap); off by default for strict parity.
+    mask_tta: bool = False
     # storage dtype for --mode export bundles ("" = keep the train dtype;
     # "float16" halves the artifact — loads cast back to float32)
     export_dtype: str = ""
@@ -234,7 +239,8 @@ class ServeConfig:
     # size aggregate into single device calls (bounded by serve batch_size)
     batch_window_ms: float = 0.0
     # image sizes to precompile engines for before accepting traffic
-    # (--serve_warm_sizes "128,256"); empty = lazy compile on first request
+    # (--serve_warm_sizes "128,256" / "native,128"); empty = lazy compile on
+    # first request
     warm_sizes: tuple = ()
 
 
@@ -263,8 +269,8 @@ class Config:
         p.add_argument("--serve_weights_bundle", type=str, default="")
         p.add_argument("--serve_batch_window_ms", type=float, default=0.0)
         p.add_argument("--serve_warm_sizes", type=str, default="",
-                       help="comma-separated image sizes to precompile "
-                            "serving engines for at startup")
+                       help="comma-separated image sizes (or 'native') to "
+                            "precompile serving engines for at startup")
         p.add_argument("--calc_metrics", type=_strtobool, default=False)
         p.add_argument("--delete_old_checkpoints", type=_strtobool, default=False)
         p.add_argument("--image_size", type=int, default=128)
@@ -296,6 +302,9 @@ class Config:
         p.add_argument("--native_resolution", type=_strtobool, default=False,
                        help="test-mode inference at each photo's own "
                             "resolution (no square resize)")
+        p.add_argument("--mask_tta", type=_strtobool, default=False,
+                       help="average the SpecSeg mask over dihedral "
+                            "flip/transpose views at inference")
         p.add_argument("--export_dtype", type=str, default="",
                        choices=["", "float16", "bfloat16"],
                        help="storage dtype for --mode export bundles "
@@ -305,9 +314,11 @@ class Config:
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
                        choices=["conv_transpose", "resize_conv"])
         p.add_argument("--remat", type=str, default="none",
-                       choices=["none", "models"],
-                       help="rematerialize heavy model forwards in the train "
-                            "step backward (HBM-traffic vs recompute trade)")
+                       choices=["none", "models", "disc", "gen"],
+                       help="rematerialize model forwards in the train step "
+                            "backward (HBM-traffic vs recompute trade); "
+                            "disc/gen remat only that model's forwards — "
+                            "use when a config almost fits without remat")
         p.add_argument("--seed", type=int, default=25)
         p.add_argument("--data_parallel", type=int, default=-1)
         p.add_argument("--model_parallel", type=int, default=1)
@@ -338,15 +349,16 @@ class Config:
         cfg.eval = dataclasses.replace(
             cfg.eval, calc_metrics=a.calc_metrics,
             specseg_weights=a.specseg_weights, use_ema=a.use_ema,
-            native_resolution=a.native_resolution,
+            native_resolution=a.native_resolution, mask_tta=a.mask_tta,
             export_dtype=a.export_dtype)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,
             weights_bundle=a.serve_weights_bundle,
             batch_window_ms=a.serve_batch_window_ms,
-            warm_sizes=tuple(int(s) for s in a.serve_warm_sizes.split(",")
-                             if s.strip()))
+            warm_sizes=tuple(
+                s.strip() if s.strip() == "native" else int(s)
+                for s in a.serve_warm_sizes.split(",") if s.strip()))
         return cfg
 
     def describe(self) -> str:

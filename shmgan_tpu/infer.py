@@ -13,10 +13,12 @@ remaining Y channels are zero and the target label is ED (test.py:227-235).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from shmgan_tpu.config import Config
@@ -47,8 +49,65 @@ def fit_affine_luma(gen_y: jnp.ndarray, y_ref: jnp.ndarray,
     return a, b
 
 
-def make_infer_fn(cfg: Config, with_cyclic: bool = False):
+def _tta_views(x: jnp.ndarray) -> list:
+    """Dihedral test-time-augmentation views of (B, H, W, C): the 4 flip
+    combinations always, plus the 4 transposed ones when H == W (shapes are
+    static under jit, so the branch resolves at trace time)."""
+    views = [x, x[:, :, ::-1], x[:, ::-1], x[:, ::-1, ::-1]]
+    if x.shape[1] == x.shape[2]:
+        xt = jnp.swapaxes(x, 1, 2)
+        views += [xt, xt[:, :, ::-1], xt[:, ::-1], xt[:, ::-1, ::-1]]
+    return views
+
+
+_TTA_INVERSES = (
+    lambda v: v,
+    lambda v: v[:, :, ::-1],
+    lambda v: v[:, ::-1],
+    lambda v: v[:, ::-1, ::-1],
+    lambda v: jnp.swapaxes(v, 1, 2),
+    lambda v: jnp.swapaxes(v[:, :, ::-1], 1, 2),
+    lambda v: jnp.swapaxes(v[:, ::-1], 1, 2),
+    lambda v: jnp.swapaxes(v[:, ::-1, ::-1], 1, 2),
+)
+
+
+def _specseg_mask(specseg, specseg_vars, y: jnp.ndarray,
+                  tta: bool) -> jnp.ndarray:
+    """Specular mask from standardized luma; tta averages the net's
+    probabilities over the dihedral views (one k*B-batched forward — a single
+    conv pass, not k dispatches). Standardization is flip/transpose-invariant,
+    so augmenting after it is exact.
+
+    Why: SpecSeg trained on the synthetic curriculum carries orientation-
+    specific biases that show up on real photographs (round-3 OOD artifact:
+    mask IoU 0.179 on the reference figure's photos); symmetrizing the
+    predictor removes the orientation component of that error for ~k x the
+    (tiny) SpecSeg forward cost."""
+    if not tta:
+        return specseg.apply(specseg_vars, y, train=False)
+    views = _tta_views(y)
+    b = y.shape[0]
+    stacked = specseg.apply(specseg_vars, jnp.concatenate(views), train=False)
+    parts = [inv(stacked[i * b:(i + 1) * b])
+             for i, inv in enumerate(_TTA_INVERSES[:len(views)])]
+    return sum(parts) / float(len(views))
+
+
+def make_infer_fn(cfg: Config, with_cyclic: bool = False, outputs=None,
+                  data_parallel: int = 1):
     """Build fn(g_params, specseg_vars, rgb) -> dict of outputs (jit-compiled).
+
+    outputs: optional iterable of output keys to return. The graph only
+    materializes what is returned — XLA dead-code-eliminates the pruned
+    branches (e.g. serving asks for ("gen_rgb_calibrated", "mask") and never
+    pays for denorm/composited HBM writes). None returns everything.
+
+    data_parallel > 1 shards the BATCH axis over the first n devices of a
+    1-D mesh (weights replicated, outputs batch-sharded) — the scale-out
+    batch-serving path. Inference has no cross-image interaction, so DP is
+    embarrassingly parallel: XLA inserts no collectives and per-chip work is
+    exactly batch/n. The batch must divide data_parallel.
 
     Outputs:
       gen_rgb  : (B,H,W,3) specular-free RGB in standardized-YUV scale
@@ -70,15 +129,41 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
     """
     gen, _disc, specseg = build_models(cfg)
     c_dim = cfg.model.c_dim
+    known = {"gen_rgb", "gen_rgb_denorm", "gen_rgb_calibrated",
+             "gen_rgb_composited", "mask", "gen_y"}
+    if with_cyclic:
+        known.add("cyc_rgb")
+    if outputs is not None:
+        outputs = tuple(outputs)
+        unknown = set(outputs) - known
+        if unknown:
+            raise ValueError(f"unknown infer outputs {sorted(unknown)}; "
+                             f"known: {sorted(known)}")
 
-    @jax.jit
+    jit_kwargs = {}
+    if data_parallel > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if data_parallel > len(devs):
+            raise ValueError(f"data_parallel={data_parallel} but only "
+                             f"{len(devs)} devices visible")
+        mesh = Mesh(np.array(devs[:data_parallel]), ("dp",))
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("dp"))
+        final_keys = outputs if outputs is not None else tuple(sorted(known))
+        out_sh = {k: (NamedSharding(mesh, P(None, "dp")) if k == "cyc_rgb"
+                      else bsh) for k in final_keys}
+        jit_kwargs = dict(in_shardings=(repl, repl, bsh), out_shardings=out_sh)
+
+    @partial(jax.jit, **jit_kwargs)
     def infer(g_params, specseg_vars, rgb: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         b, h, w, _ = rgb.shape
         yuv, stats = per_image_standardization(rgb_to_yuv(rgb))
         y = yuv[..., 0:1]
         cbcr = yuv[..., 1:]
 
-        mask = specseg.apply(specseg_vars, y, train=False)
+        mask = _specseg_mask(specseg, specseg_vars, y, cfg.eval.mask_tta)
 
         zeros = jnp.zeros((b, h, w, 1), jnp.float32)
         y_planes = jnp.concatenate([y] + [zeros] * (c_dim - 1), axis=-1)
@@ -149,6 +234,10 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False):
                 [cyc_y, jnp.broadcast_to(cbcr, (c_dim, b, h, w, 2))], axis=-1)
             out["cyc_rgb"] = yuv_to_rgb(cyc_yuv)
 
+        if outputs is not None:
+            # returning a subset is what actually prunes the graph: XLA DCEs
+            # every op feeding only the dropped keys
+            out = {k: out[k] for k in outputs}
         return out
 
     return infer
@@ -172,7 +261,8 @@ def bucket_shape(h: int, w: int, multiple: int = 16, bucket: int = 64):
 
 
 def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
-                         multiple: int = 16, bucket: int = 64):
+                         multiple: int = 16, bucket: int = 64, outputs=None,
+                         data_parallel: int = 1):
     """Arbitrary-resolution inference: fn(g_params, specseg_vars, rgb) with rgb
     (B, h, w, 3) at ANY h, w — no square resize.
 
@@ -189,7 +279,8 @@ def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
     """
     import numpy as np
 
-    infer = make_infer_fn(cfg, with_cyclic=with_cyclic)
+    infer = make_infer_fn(cfg, with_cyclic=with_cyclic, outputs=outputs,
+                          data_parallel=data_parallel)
 
     def run(g_params, specseg_vars, rgb) -> Dict[str, "np.ndarray"]:
         rgb = np.asarray(rgb, np.float32)
@@ -215,13 +306,14 @@ def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
     return run
 
 
-def make_mask_fn(cfg: Config):
-    """SpecSeg-only inference: RGB -> specular mask (BASELINE config 1)."""
+def make_mask_fn(cfg: Config, tta: bool = False):
+    """SpecSeg-only inference: RGB -> specular mask (BASELINE config 1).
+    tta=True symmetrizes over the dihedral views (see _specseg_mask)."""
     _gen, _disc, specseg = build_models(cfg)
 
     @jax.jit
     def mask_fn(specseg_vars, rgb: jnp.ndarray) -> jnp.ndarray:
         yuv, _ = per_image_standardization(rgb_to_yuv(rgb))
-        return specseg.apply(specseg_vars, yuv[..., 0:1], train=False)
+        return _specseg_mask(specseg, specseg_vars, yuv[..., 0:1], tta)
 
     return mask_fn

@@ -30,18 +30,32 @@ from shmgan_tpu.infer import make_infer_fn, make_native_infer_fn
 class BatchInferenceEngine:
     def __init__(self, cfg: Config, g_params, specseg_vars, batch_size: int = 8,
                  with_cyclic: bool = False, num_io_workers: int = 4,
-                 native_resolution: bool = False):
+                 native_resolution: bool = False, outputs=None,
+                 data_parallel: int = 1):
         self.cfg = cfg
         self.batch_size = batch_size
+        # data_parallel shards every compiled batch over a 1-D device mesh
+        # (weights replicated; no collectives — inference is per-image).
+        # batch_size stays the GLOBAL batch; each chip runs batch/n.
+        if data_parallel > 1 and batch_size % data_parallel:
+            raise ValueError(f"batch_size {batch_size} must divide "
+                             f"data_parallel {data_parallel}")
         self.image_size = cfg.model.image_size
         # native_resolution serves each photo at its own size (reflect-pad to
         # a bucketed shape + crop, like test-mode --native_resolution) instead
         # of the reference's forced square resize (test.py:81-94). One XLA
         # compile per (bucketed shape, chunk size) — bucketing bounds the set.
         self.native_resolution = native_resolution
-        self._native = (make_native_infer_fn(cfg, with_cyclic=with_cyclic)
+        # outputs: restrict the compiled graph to the keys this deployment
+        # actually consumes (XLA prunes the rest — fewer full-resolution HBM
+        # writes per call). None keeps every output.
+        self._native = (make_native_infer_fn(cfg, with_cyclic=with_cyclic,
+                                             outputs=outputs,
+                                             data_parallel=data_parallel)
                         if native_resolution else None)
-        self._infer = make_infer_fn(cfg, with_cyclic=with_cyclic)
+        self._infer = make_infer_fn(cfg, with_cyclic=with_cyclic,
+                                    outputs=outputs,
+                                    data_parallel=data_parallel)
         # weights stay resident on device for the engine's lifetime
         self._g_params = jax.device_put(g_params)
         self._specseg_vars = jax.device_put(specseg_vars)

@@ -10,11 +10,20 @@ Endpoints:
   GET  /healthz                   liveness + device info (JSON)
   GET  /stats                     request counters / latency EMA (JSON)
   POST /v1/specfree               body: encoded image (png/jpeg/bmp/ppm bytes)
-       ?size=<px>                 optional resolution (engine pool compiles one
-                                  graph per size; default cfg.model.image_size)
-       ?output=image|mask|json    response: specular-free PNG (default), the
-                                  SpecSeg mask PNG, or JSON metadata with both
-                                  images base64-encoded
+       ?size=<px>|native          optional resolution (engine pool compiles one
+                                  graph per size; default cfg.model.image_size).
+                                  size=native serves the photo at its own
+                                  resolution via reflect-pad-to-bucket + crop
+                                  (one compile per bucketed shape) instead of
+                                  the square resize — the response image keeps
+                                  the request's exact (h, w)
+       ?output=image|composited|mask|json
+                                  response: calibrated specular-free PNG
+                                  (default), the mask-composited deliverable
+                                  PNG (input outside the specular mask,
+                                  reconstruction inside), the SpecSeg mask
+                                  PNG, or JSON metadata with both images
+                                  base64-encoded
 
 Design notes (TPU):
   * One device, many HTTP threads: a lock serializes device calls; IO
@@ -57,7 +66,10 @@ class EnginePool:
         self._build_lock = threading.Lock()
         self.device_lock = threading.Lock()
 
-    def engine(self, size: int) -> BatchInferenceEngine:
+    def engine(self, size) -> BatchInferenceEngine:
+        """size: square pixel count (int), or the string "native" for the
+        shared native-resolution engine (its jit cache keys on the request's
+        bucketed shape internally, so one engine covers every photo size)."""
         eng = self._engines.get(size)
         if eng is not None:
             return eng
@@ -69,10 +81,23 @@ class EnginePool:
                         f"engine pool limit ({self._max_sizes} sizes) reached")
                 import dataclasses
                 cfg = dataclasses.replace(self._cfg)
-                cfg.model = dataclasses.replace(self._cfg.model, image_size=size)
-                eng = BatchInferenceEngine(cfg, self._g_params,
-                                           self._specseg_vars,
-                                           batch_size=self._batch_size)
+                # the HTTP handler consumes exactly these two outputs; the
+                # pruned graph skips the denorm/composited HBM writes.
+                # cfg.mesh.data_parallel (--data_parallel) shards each device
+                # call's batch over n chips.
+                kw = dict(batch_size=self._batch_size,
+                          outputs=("gen_rgb_calibrated",
+                                   "gen_rgb_composited", "mask"),
+                          data_parallel=self._cfg.mesh.data_parallel)
+                if size == "native":
+                    eng = BatchInferenceEngine(cfg, self._g_params,
+                                               self._specseg_vars,
+                                               native_resolution=True, **kw)
+                else:
+                    cfg.model = dataclasses.replace(self._cfg.model,
+                                                    image_size=size)
+                    eng = BatchInferenceEngine(cfg, self._g_params,
+                                               self._specseg_vars, **kw)
                 self._engines[size] = eng
         return eng
 
@@ -81,17 +106,24 @@ class EnginePool:
         size BEFORE the server accepts traffic, so no request ever pays an
         XLA compile. Serialized behind device_lock like live traffic."""
         for size in sizes:
-            eng = self.engine(int(size))
+            eng = self.engine(size if size == "native" else int(size))
             with self.device_lock:
                 eng.warmup()
 
 
-def _decode_request_image(body: bytes, size: int) -> np.ndarray:
+def _decode_request_image(body: bytes, size) -> np.ndarray:
+    """size: int -> square resize (reference test.py:81-94 behavior);
+    "native" -> keep the photo's own (h, w)."""
     from PIL import Image
 
     with Image.open(io.BytesIO(body)) as im:
         im = im.convert("RGB")
-        if im.size != (size, size):
+        if size == "native":
+            if not (16 <= im.size[0] <= 2048 and 16 <= im.size[1] <= 2048):
+                raise ValueError(
+                    f"native-size images must have both sides in [16, 2048], "
+                    f"got {im.size[1]}x{im.size[0]}")
+        elif im.size != (size, size):
             im = im.resize((size, size), Image.BILINEAR)
         return np.asarray(im, dtype=np.float32)[None] / 255.0
 
@@ -137,7 +169,18 @@ class BatchingFrontend:
         with self._calls_lock:
             self._device_calls += 1
 
-    def _collector(self, size: int, eng, q: "queue.Queue"):
+    @staticmethod
+    def _run(eng, rgb: np.ndarray, native: bool) -> Dict[str, np.ndarray]:
+        """One device call, square or native. All images in `rgb` share one
+        shape (the queue key includes (h, w) for native), so the native
+        results re-stack into the same {key: (n, ...)} layout the square
+        path returns and the fan-out below stays shape-agnostic."""
+        if native:
+            outs = eng.process_images_native(list(rgb))
+            return {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+        return eng.process_images(rgb)
+
+    def _collector(self, key, eng, native: bool, q: "queue.Queue"):
         while True:
             first = q.get()
             batch = [first]
@@ -160,7 +203,7 @@ class BatchingFrontend:
             try:
                 with self._pool.device_lock:
                     self._count_device_call()
-                    out = eng.process_images(rgb)
+                    out = self._run(eng, rgb, native)
                 i = 0
                 for item in batch:
                     n = item[0].shape[0]
@@ -175,21 +218,26 @@ class BatchingFrontend:
                 for item in batch:
                     item[1]["done"].set()
 
-    def submit(self, size: int, rgb: np.ndarray,
+    def submit(self, size, rgb: np.ndarray,
                timeout_s: float = 600.0) -> Dict[str, np.ndarray]:
         # build (or fetch) the engine in the REQUEST thread so pool-limit /
         # compile errors surface as a normal HTTP error instead of killing the
         # collector and stranding queued waiters
+        native = size == "native"
         eng = self._pool.engine(size)
         if self._window_s <= 0:
             with self._pool.device_lock:
                 self._count_device_call()
-                return eng.process_images(rgb)
+                return self._run(eng, rgb, native)
+        # native requests only aggregate when they share an exact (h, w) —
+        # same-camera photo streams, the case batching actually helps
+        key = ("native",) + rgb.shape[1:3] if native else size
         with self._lock:
-            q = self._queues.get(size)
+            q = self._queues.get(key)
             if q is None:
-                q = self._queues[size] = queue.Queue()
-                threading.Thread(target=self._collector, args=(size, eng, q),
+                q = self._queues[key] = queue.Queue()
+                threading.Thread(target=self._collector,
+                                 args=(key, eng, native, q),
                                  daemon=True).start()
         slot = {"done": threading.Event(), "cancelled": threading.Event()}
         q.put((rgb, slot))
@@ -204,19 +252,27 @@ class BatchingFrontend:
 def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                 port: int = 0, batch_size: int = 1,
                 batch_window_ms: float = 0.0,
-                warm_sizes=()) -> ThreadingHTTPServer:
+                warm_sizes=(), max_native_shapes: int = 8) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server. port=0 binds an ephemeral port
     (server.server_address[1] reports it). batch_window_ms > 0 enables the
     request-batching window (engine batch_size bounds each aggregated call).
     warm_sizes precompiles one engine per listed image size before the server
-    is returned (no request pays a compile)."""
+    is returned (no request pays a compile). max_native_shapes bounds how many
+    distinct bucketed shapes size=native requests may compile — each new
+    bucket pays an XLA compile, so without a cap a client cycling image sizes
+    could stall the device behind up to (2048/64)^2 compiles."""
     pool = EnginePool(cfg, g_params, specseg_vars, batch_size=batch_size)
+    native_shapes: set = set()
+    native_shapes_lock = threading.Lock()
     if warm_sizes:
         pool.warm(warm_sizes)
     frontend = BatchingFrontend(pool, batch_window_ms / 1e3, batch_size)
     stats = {"requests": 0, "images": 0, "errors": 0, "latency_ema_ms": 0.0}
     stats_lock = threading.Lock()
-    default_size = cfg.model.image_size
+    # --native_resolution makes native the default for size-less requests;
+    # ?size=<px> still forces a square graph per request either way
+    default_size = ("native" if cfg.eval.native_resolution
+                    else cfg.model.image_size)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -244,7 +300,8 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                 self._json(200, {"status": "ok",
                                  "backend": jax.default_backend(),
                                  "devices": len(jax.devices()),
-                                 "compiled_sizes": sorted(pool._engines)})
+                                 "compiled_sizes": sorted(pool._engines,
+                                                          key=str)})
             elif path == "/stats":
                 with stats_lock:
                     payload = dict(stats)
@@ -261,20 +318,34 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
             q = parse_qs(url.query)
             t0 = time.perf_counter()
             try:
-                size = int(q.get("size", [default_size])[0])
-                # SpecSeg's 4 pooling levels need size % 16 == 0; the upper
-                # bound stops one request from compiling an arbitrarily large
-                # graph / allocating GBs on the host
-                if not (16 <= size <= 2048 and size % 16 == 0):
-                    raise ValueError(
-                        f"size must be a multiple of 16 in [16, 2048], got {size}")
+                size = q.get("size", [default_size])[0]
+                if size != "native":
+                    size = int(size)
+                    # SpecSeg's 4 pooling levels need size % 16 == 0; the
+                    # upper bound stops one request from compiling an
+                    # arbitrarily large graph / allocating GBs on the host
+                    if not (16 <= size <= 2048 and size % 16 == 0):
+                        raise ValueError(f"size must be 'native' or a multiple "
+                                         f"of 16 in [16, 2048], got {size}")
                 output = q.get("output", ["image"])[0]
-                if output not in ("image", "mask", "json"):
-                    raise ValueError(f"output must be image|mask|json")
+                if output not in ("image", "composited", "mask", "json"):
+                    raise ValueError(
+                        "output must be image|composited|mask|json")
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     raise ValueError("empty body")
                 rgb = _decode_request_image(self.rfile.read(length), size)
+                if size == "native":
+                    from shmgan_tpu.infer import bucket_shape
+                    bs = bucket_shape(*rgb.shape[1:3])
+                    with native_shapes_lock:
+                        if (bs not in native_shapes
+                                and len(native_shapes) >= max_native_shapes):
+                            raise ValueError(
+                                f"native-shape compile budget exhausted "
+                                f"({max_native_shapes} bucketed shapes); "
+                                f"resize or pass an explicit ?size=")
+                        native_shapes.add(bs)
             except Exception as e:
                 with stats_lock:
                     stats["errors"] += 1
@@ -292,6 +363,11 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
             mask = out["mask"][0, ..., 0]
             if output == "image":
                 self._bytes(200, _png_bytes(gen), "image/png")
+            elif output == "composited":
+                # input verbatim outside the (dilated, softened) mask,
+                # reconstruction inside — the practical deliverable
+                self._bytes(200, _png_bytes(out["gen_rgb_composited"][0]),
+                            "image/png")
             elif output == "mask":
                 self._bytes(200, _png_bytes(mask), "image/png")
             else:

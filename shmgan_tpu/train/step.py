@@ -98,15 +98,23 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
     # with idle MXU (DESIGN.md roofline), so this converts the bottleneck
     # resource into the idle one. Numerics are unchanged — the same ops run in
     # the same order (tests/test_remat.py asserts step-for-step equality).
-    if cfg.train.remat not in ("none", "models"):
-        raise ValueError(f"train.remat must be 'none' or 'models', "
+    # Granular policies (round-3 256px finding): remat is a pure throughput
+    # loss when the step fits HBM (sweep_256.json: b12 27.1 -> 33.7 img/s
+    # without it), so when a config almost fits, remat the cheapest-to-
+    # recompute subgraph only — "disc" frees the D activations (4 batched D
+    # calls) for a fraction of the "models" recompute bill.
+    if cfg.train.remat not in ("none", "models", "disc", "gen"):
+        raise ValueError(f"train.remat must be 'none'|'models'|'disc'|'gen', "
                          f"got {cfg.train.remat!r}")
-    _remat = jax.checkpoint if cfg.train.remat == "models" else (lambda f: f)
-    gen_fwd = _remat(lambda p, x, m: gen.apply({"params": p}, x, m))
-    d_live_fwd = _remat(
+    _remat_g = (jax.checkpoint if cfg.train.remat in ("models", "gen")
+                else (lambda f: f))
+    _remat_d = (jax.checkpoint if cfg.train.remat in ("models", "disc")
+                else (lambda f: f))
+    gen_fwd = _remat_g(lambda p, x, m: gen.apply({"params": p}, x, m))
+    d_live_fwd = _remat_d(
         lambda p, x, m, kn, kd: disc.apply({"params": p}, x, m, train=True,
                                            rngs={"noise": kn, "dropout": kd}))
-    d_frozen_fwd = _remat(
+    d_frozen_fwd = _remat_d(
         lambda p, x, m: disc.apply({"params": p}, x, m, train=False))
 
     def step_fn(state: TrainState, views: jnp.ndarray, rng: jax.Array,

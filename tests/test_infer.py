@@ -276,3 +276,105 @@ class TestCompositedOutput:
         quiet = neigh_max < 1e-4
         if quiet.any():
             np.testing.assert_allclose(comp[quiet], inp[quiet], atol=1e-3)
+
+
+class TestMaskTTA:
+    """Dihedral mask TTA (infer._specseg_mask): probabilities averaged over
+    flip/transpose views in ONE batched forward."""
+
+    def test_tta_equals_manual_view_average(self, setup):
+        """The in-graph TTA must equal averaging the plain mask over
+        explicitly transformed inputs (proves every inverse mapping)."""
+        cfg, state, rgb = setup
+        plain = make_mask_fn(cfg)
+        tta = make_mask_fn(cfg, tta=True)
+        x = np.asarray(rgb)
+        views = [x, x[:, :, ::-1], x[:, ::-1], x[:, ::-1, ::-1],
+                 np.swapaxes(x, 1, 2),
+                 np.swapaxes(x, 1, 2)[:, :, ::-1],
+                 np.swapaxes(x, 1, 2)[:, ::-1],
+                 np.swapaxes(x, 1, 2)[:, ::-1, ::-1]]
+        invs = [lambda v: v, lambda v: v[:, :, ::-1], lambda v: v[:, ::-1],
+                lambda v: v[:, ::-1, ::-1],
+                lambda v: np.swapaxes(v, 1, 2),
+                lambda v: np.swapaxes(v[:, :, ::-1], 1, 2),
+                lambda v: np.swapaxes(v[:, ::-1], 1, 2),
+                lambda v: np.swapaxes(v[:, ::-1, ::-1], 1, 2)]
+        manual = np.mean([inv(np.asarray(plain(state.specseg_vars,
+                                               jnp.asarray(view))))
+                          for view, inv in zip(views, invs)], axis=0)
+        got = np.asarray(tta(state.specseg_vars, rgb))
+        np.testing.assert_allclose(got, manual, rtol=2e-4, atol=2e-5)
+
+    def test_tta_output_is_flip_equivariant(self, setup):
+        """The symmetrized predictor is exactly equivariant: mask(flip(x)) ==
+        flip(mask(x)) — the property plain SpecSeg lacks."""
+        cfg, state, rgb = setup
+        tta = make_mask_fn(cfg, tta=True)
+        m = np.asarray(tta(state.specseg_vars, rgb))
+        m_flipped = np.asarray(tta(state.specseg_vars, rgb[:, :, ::-1]))
+        np.testing.assert_allclose(m_flipped, m[:, :, ::-1],
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_tta_non_square_uses_flips_only(self, setup):
+        cfg, state, _ = setup
+        tta = make_mask_fn(cfg, tta=True)
+        rect = jax.random.uniform(jax.random.PRNGKey(7), (2, 32, 48, 3))
+        m = np.asarray(tta(state.specseg_vars, rect))
+        assert m.shape == (2, 32, 48, 1)
+        assert np.all(np.isfinite(m)) and m.min() >= 0.0 and m.max() <= 1.0
+
+    def test_infer_fn_honors_mask_tta_config(self, setup):
+        cfg, state, rgb = setup
+        import dataclasses as dc
+        cfg_tta = Config()
+        cfg_tta.model = cfg.model
+        cfg_tta.eval = dc.replace(cfg_tta.eval, mask_tta=True)
+        out = make_infer_fn(cfg_tta)(state.g_params, state.specseg_vars, rgb)
+        want = np.asarray(make_mask_fn(cfg, tta=True)(state.specseg_vars, rgb))
+        np.testing.assert_allclose(np.asarray(out["mask"]), want,
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_mask_tta_cli_flag(self):
+        cfg = Config.from_args(["--mode", "test", "--mask_tta", "true"])
+        assert cfg.eval.mask_tta is True
+        cfg = Config.from_args(["--mode", "test"])
+        assert cfg.eval.mask_tta is False
+
+
+class TestOutputSelection:
+    """make_infer_fn(outputs=...) returns exactly the requested keys with
+    values identical to the full graph (XLA prunes the rest — the serving
+    paths use this to skip denorm/composited HBM writes)."""
+
+    def test_subset_matches_full(self, setup):
+        cfg, state, rgb = setup
+        full = make_infer_fn(cfg)(state.g_params, state.specseg_vars, rgb)
+        sub = make_infer_fn(cfg, outputs=("gen_rgb_calibrated", "mask"))(
+            state.g_params, state.specseg_vars, rgb)
+        assert set(sub) == {"gen_rgb_calibrated", "mask"}
+        np.testing.assert_allclose(np.asarray(sub["mask"]),
+                                   np.asarray(full["mask"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sub["gen_rgb_calibrated"]),
+                                   np.asarray(full["gen_rgb_calibrated"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unknown_key_raises(self, setup):
+        cfg, _, _ = setup
+        with pytest.raises(ValueError, match="unknown infer outputs"):
+            make_infer_fn(cfg, outputs=("gen_rgb", "nope"))
+        # cyc_rgb is only a valid key when with_cyclic is on
+        with pytest.raises(ValueError, match="unknown infer outputs"):
+            make_infer_fn(cfg, outputs=("cyc_rgb",))
+        make_infer_fn(cfg, with_cyclic=True, outputs=("cyc_rgb",))
+
+    def test_native_passthrough(self, setup):
+        from shmgan_tpu.infer import make_native_infer_fn
+        cfg, state, _ = setup
+        run = make_native_infer_fn(cfg, outputs=("gen_rgb_calibrated", "mask"))
+        rect = np.random.default_rng(0).uniform(
+            0, 1, (1, 40, 56, 3)).astype(np.float32)
+        out = run(state.g_params, state.specseg_vars, rect)
+        assert set(out) == {"gen_rgb_calibrated", "mask"}
+        assert out["gen_rgb_calibrated"].shape == (1, 40, 56, 3)

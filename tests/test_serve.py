@@ -220,3 +220,34 @@ class TestNativeResolutionServing:
     def test_square_engine_rejects_native_call(self, engine):
         with pytest.raises(RuntimeError):
             engine.process_images_native([np.zeros((32, 32, 3), np.float32)])
+
+
+class TestDataParallelServing:
+    """data_parallel=N shards each compiled serving batch over a 1-D device
+    mesh (conftest provides 8 virtual CPU devices). Inference is per-image, so
+    DP must be numerically identical to single-device."""
+
+    def test_dp_equals_single_device(self):
+        cfg = Config()
+        cfg.model = dataclasses.replace(cfg.model, image_size=32,
+                                        filter_size=8, specseg_base_filters=4)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        rgb = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                            (4, 32, 32, 3)), np.float32)
+        eng1 = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                                    batch_size=4)
+        eng2 = BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                                    batch_size=4, data_parallel=2)
+        out1 = eng1.process_images(rgb)
+        out2 = eng2.process_images(rgb)
+        for k in out1:
+            np.testing.assert_allclose(out2[k], out1[k], rtol=1e-5, atol=1e-6)
+
+    def test_dp_must_divide_batch(self):
+        cfg = Config()
+        cfg.model = dataclasses.replace(cfg.model, image_size=32,
+                                        filter_size=8, specseg_base_filters=4)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="must divide"):
+            BatchInferenceEngine(cfg, state.g_params, state.specseg_vars,
+                                 batch_size=3, data_parallel=2)

@@ -75,6 +75,11 @@ class TestHTTPServing:
             mask = Image.open(io.BytesIO(r.read()))
         assert mask.size == (32, 32)
 
+        with _post(server + "/v1/specfree?output=composited",
+                   png_bytes(seed=1)) as r:
+            comp = Image.open(io.BytesIO(r.read()))
+        assert comp.size == (32, 32)
+
         with _post(server + "/v1/specfree?output=json", png_bytes(seed=2)) as r:
             payload = json.loads(r.read())
         assert 0.0 <= payload["mask_coverage"] <= 1.0
@@ -158,10 +163,139 @@ class TestBatchingWindow:
 
 class TestRequestValidation:
     def test_out_of_range_size_is_400(self, server):
-        for bad in ("17", "8", "4096", "-32"):
+        for bad in ("17", "8", "4096", "-32", "narive"):
             with pytest.raises(urllib.error.HTTPError) as exc:
                 _post(server + f"/v1/specfree?size={bad}", png_bytes())
             assert exc.value.code == 400
+
+
+def rect_png_bytes(h, w, seed=0) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestNativeHTTP:
+    """?size=native serves each photo at its own (h, w) via the shared
+    native-resolution engine (reflect-pad to bucket + crop) instead of the
+    square resize."""
+
+    def test_native_request_keeps_shape(self, server):
+        from PIL import Image
+
+        with _post(server + "/v1/specfree?size=native",
+                   rect_png_bytes(40, 56, seed=7)) as r:
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (56, 40)  # PIL size is (w, h)
+        with _post(server + "/v1/specfree?size=native&output=mask",
+                   rect_png_bytes(40, 56, seed=8)) as r:
+            mask = Image.open(io.BytesIO(r.read()))
+        assert mask.size == (56, 40)
+        # the native engine shares the pool under the "native" key
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+            payload = json.loads(r.read())
+        assert "native" in payload["compiled_sizes"]
+
+    def test_native_oversize_is_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server + "/v1/specfree?size=native",
+                  rect_png_bytes(16, 2064, seed=9))
+        assert exc.value.code == 400
+
+    def test_native_default_via_config(self):
+        """--native_resolution true makes size-less HTTP requests native."""
+        from PIL import Image
+
+        cfg = tiny_cfg()
+        cfg.eval = dataclasses.replace(cfg.eval, native_resolution=True)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        srv = make_server(cfg, state.g_params, state.specseg_vars)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with _post(url + "/v1/specfree", rect_png_bytes(24, 48,
+                                                            seed=11)) as r:
+                img = Image.open(io.BytesIO(r.read()))
+            assert img.size == (48, 24)
+            # an explicit square size still works alongside the native default
+            with _post(url + "/v1/specfree?size=32", png_bytes(seed=12)) as r:
+                img = Image.open(io.BytesIO(r.read()))
+            assert img.size == (32, 32)
+        finally:
+            srv.shutdown()
+
+    def test_native_shape_compile_budget(self):
+        """max_native_shapes bounds how many distinct bucketed shapes
+        size=native may compile (each is an XLA compile a hostile client
+        could otherwise farm)."""
+        cfg = tiny_cfg()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        srv = make_server(cfg, state.g_params, state.specseg_vars,
+                          max_native_shapes=1)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with _post(url + "/v1/specfree?size=native",
+                       rect_png_bytes(40, 56, seed=13)) as r:
+                assert r.status == 200
+            # same bucket (64, 64) -> still allowed
+            with _post(url + "/v1/specfree?size=native",
+                       rect_png_bytes(33, 60, seed=14)) as r:
+                assert r.status == 200
+            # new bucket (64, 128) -> budget exhausted
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(url + "/v1/specfree?size=native",
+                      rect_png_bytes(40, 120, seed=15))
+            assert exc.value.code == 400
+        finally:
+            srv.shutdown()
+
+    def test_native_warm_sizes_cli_parsing(self):
+        cfg = Config.from_args(["--mode", "serve",
+                                "--serve_warm_sizes", "native, 128"])
+        assert cfg.serve.warm_sizes == ("native", 128)
+
+    def test_native_batching_window_aggregates(self):
+        """Concurrent native requests of one exact (h, w) share device calls
+        (queue keyed by ('native', h, w))."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        cfg = tiny_cfg()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        srv = make_server(cfg, state.g_params, state.specseg_vars,
+                          batch_size=4, batch_window_ms=200.0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            # warm: pay the (40, 56)-bucket compile outside the timed window
+            with _post(url + "/v1/specfree?size=native",
+                       rect_png_bytes(40, 56, seed=20)) as r:
+                assert r.status == 200
+            with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+                before = json.loads(r.read())["device_calls"]
+
+            def one(i):
+                with _post(url + "/v1/specfree?size=native",
+                           rect_png_bytes(40, 56, seed=30 + i)) as r:
+                    return Image.open(io.BytesIO(r.read())).size
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                sizes = list(ex.map(one, range(8)))
+            assert all(s == (56, 40) for s in sizes)
+            with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+                after = json.loads(r.read())["device_calls"]
+            assert after - before < 8
+        finally:
+            srv.shutdown()
 
 
 class TestWarmStart:
