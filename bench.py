@@ -305,16 +305,17 @@ def main():
         results["train_bf16_b24_scan_step_ms"] = t5["step_ms"]
 
     # Flagship-resolution section (VERDICT r2 weak #7). The round-3 256px
-    # sweep (benchmarks/trace_r3/sweep_256.json) found remat a pure loss at
-    # 256 as well (b12: 27.1 -> 33.7 img/s without it) and b16 no-remat the
-    # optimum at 39.4 img/s — the step fits HBM without rematerialization.
-    # Reported in detail; NOT headline-eligible (the headline and vs_baseline
-    # stay defined at the reference's 128px).
-    t6 = _run_section("train256 bf16 b16", _TRAIN_SNIPPET.format(
-        dtype="bfloat16", batch=16, remat="none", iters=10, image_size=256))
+    # sweeps (benchmarks/trace_r3/sweep_256.json, sweep_256_ext.json) found
+    # remat a pure loss at 256 (b12: 27.1 -> 33.7 img/s without it) and the
+    # batch frontier at b24 no-remat: 46.6 img/s (b16 39.4, b20 42.3;
+    # b28+ exhausts HBM even with disc-only remat). Reported in detail; NOT
+    # headline-eligible (the headline and vs_baseline stay defined at the
+    # reference's 128px).
+    t6 = _run_section("train256 bf16 b24", _TRAIN_SNIPPET.format(
+        dtype="bfloat16", batch=24, remat="none", iters=10, image_size=256))
     if t6:
-        results["train256_bf16_b16_images_per_sec"] = t6["images_per_sec"]
-        results["train256_bf16_b16_step_ms"] = t6["step_ms"]
+        results["train256_bf16_b24_images_per_sec"] = t6["images_per_sec"]
+        results["train256_bf16_b24_step_ms"] = t6["step_ms"]
 
     inf1 = _run_section("infer b1", _INFER_SNIPPET.format(
         batch=1, key="gen_rgb", outputs=None))
