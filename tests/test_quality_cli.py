@@ -115,6 +115,8 @@ class TestRelaySafeSegmenting:
         assert qt.resolve_segment(25, 256) == 25
         assert qt.resolve_segment(0, 256) == 0
 
-    def test_flag_default_is_auto(self):
+    def test_flag_default_is_bisected_table(self):
         qt = _load_quality_train()
-        assert qt.parse_args(["--phase", "gan"]).max_segment == -1
+        # string-typed since 'auto' (AdaptiveSegmenter) became a value;
+        # the default stays the bisected static table
+        assert qt.parse_args(["--phase", "gan"]).max_segment == "-1"
