@@ -106,6 +106,20 @@ def main(argv=None):
                 row["photo_iou_by_threshold"] = {
                     str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
                     for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
+                # dilation diagnostic: if the net's hits sit INSIDE the
+                # reference regions (adjacency-limited recall), growing the
+                # prediction recovers IoU; if whole components are missed,
+                # it can't. Separates "too tight" from "blind".
+                row["photo_iou_by_dilation"] = {}
+                for rad in (1, 2, 3):
+                    k = 2 * rad + 1
+                    pb = (ph_pred > 0.5).astype(np.float32)
+                    pad = np.pad(pb, ((0, 0), (rad, rad), (rad, rad), (0, 0)))
+                    dil = np.max(np.stack(
+                        [pad[:, dy:dy + pb.shape[1], dx:dx + pb.shape[2]]
+                         for dy in range(k) for dx in range(k)]), axis=0)
+                    row["photo_iou_by_dilation"][str(rad)] = iou_pr(
+                        dil, crops["ref_masks"])["iou"]
             results[name] = row
             log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
                 f"photo={row.get('real_photos_vs_reference_masks')}")

@@ -142,6 +142,7 @@ def supervise(a) -> int:
     relaunches = 0
     while True:
         child = launch(a.command, a.log, a.pidfile)
+        launched_at = time.time()
         wedged = False
         while True:
             rc = child.poll()
@@ -149,7 +150,11 @@ def supervise(a) -> int:
                 break
             mtime = (os.path.getmtime(a.log) if os.path.exists(a.log)
                      else time.time())
-            silence = time.time() - mtime
+            # Clock silence from the LATER of the log's last write and this
+            # child's launch: right after a relaunch the log still carries the
+            # previous attempt's mtime, and a slow-starting child would be
+            # flagged wedged before its first line (seen under load in CI).
+            silence = time.time() - max(mtime, launched_at)
             if silence > a.silence_timeout:
                 log(f"WEDGE: log silent {silence:.0f}s "
                     f"(> {a.silence_timeout:.0f}s)")

@@ -166,7 +166,62 @@ def specular_field_dr(key: jax.Array, h: int, w: int) -> jnp.ndarray:
     return jnp.sum(field, axis=0)
 
 
-def synth_scene_dr(key: jax.Array, h: int, w: int
+MAX_GLINTS = 56      # dr2: micro-glint ceiling per scene
+N_GLINT_CLUSTERS = 4  # glints ride object surfaces in groups, not uniformly
+
+
+def glint_field(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """Dense micro-glint specular layer (h, w) — the dr2 addition.
+
+    Motivation (measured, benchmarks/quality_r3_dr/mask_ab.json + component
+    audit of the reference figure's own masks): real photographs carry
+    30-108 CONNECTED COMPONENTS of specularity per image, mostly tiny
+    (1-80 px at 128px) — glitter on fruit skin, wet-surface sparkle, edge
+    glints. The dr curriculum tops out at MAX_LOBES=7 lobes, so a net
+    trained on it learns that highlights are few and large; its photo
+    recall is 0.34. This layer adds up to MAX_GLINTS tiny anisotropic
+    super-Gaussian spots, CLUSTERED around N_GLINT_CLUSTERS centers with
+    per-cluster spread (uniform scatter would be the wrong prior: glints
+    group on objects).
+    """
+    ks = jax.random.split(key, 11)
+    n = jax.random.randint(ks[0], (), 0, MAX_GLINTS + 1)
+    ccy = jax.random.uniform(ks[1], (N_GLINT_CLUSTERS,), minval=0.08,
+                             maxval=0.92) * h
+    ccx = jax.random.uniform(ks[2], (N_GLINT_CLUSTERS,), minval=0.08,
+                             maxval=0.92) * w
+    spread = jax.random.uniform(ks[3], (N_GLINT_CLUSTERS,), minval=0.04,
+                                maxval=0.30) * min(h, w)
+    assign = jax.random.randint(ks[4], (MAX_GLINTS,), 0, N_GLINT_CLUSTERS)
+    offs = jax.random.normal(ks[5], (MAX_GLINTS, 2))
+    cy = jnp.clip(ccy[assign] + offs[:, 0] * spread[assign], 1.0, h - 2.0)
+    cx = jnp.clip(ccx[assign] + offs[:, 1] * spread[assign], 1.0, w - 2.0)
+
+    # tiny cores: sigma 0.6..3 px regardless of image size (a glint is a
+    # sensor-scale event), mild elongation, hard-ish edges, clipping amps
+    sig_a = jax.random.uniform(ks[6], (MAX_GLINTS,), minval=0.6, maxval=3.0)
+    aspect = jax.random.uniform(ks[7], (MAX_GLINTS,), minval=1.0, maxval=4.0)
+    sig_b = jnp.maximum(sig_a / aspect, 0.45)
+    theta = jax.random.uniform(ks[8], (MAX_GLINTS,), minval=0.0, maxval=jnp.pi)
+    p = jax.random.uniform(ks[9], (MAX_GLINTS,), minval=1.5, maxval=5.0)
+    amp = jax.random.uniform(ks[10], (MAX_GLINTS,), minval=0.55, maxval=2.6)
+
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    yy = yy.astype(jnp.float32)[None]
+    xx = xx.astype(jnp.float32)[None]
+    ct = jnp.cos(theta)[:, None, None]
+    st = jnp.sin(theta)[:, None, None]
+    dy = yy - cy[:, None, None]
+    dx = xx - cx[:, None, None]
+    u = dx * ct + dy * st
+    v = -dx * st + dy * ct
+    r = (u / sig_a[:, None, None]) ** 2 + (v / sig_b[:, None, None]) ** 2
+    spots = jnp.exp(-0.5 * r ** (p[:, None, None] / 2.0))
+    active = (jnp.arange(MAX_GLINTS) < n)[:, None, None]
+    return jnp.sum(spots * active * amp[:, None, None], axis=0)
+
+
+def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DR scene -> (camera (h,w,3) in [0,1], mask (h,w,1)).
 
@@ -175,7 +230,7 @@ def synth_scene_dr(key: jax.Array, h: int, w: int
     randomization must not move it.
     """
     (k_tex, k_nd, k_dreg, k_ds, k_spec, k_tint, k_exp, k_gam, k_vig,
-     k_nsig, k_noise) = jax.random.split(key, 11)
+     k_nsig, k_noise, k_glint) = jax.random.split(key, 12)
 
     base = _texture(k_tex, h, w)
 
@@ -201,6 +256,8 @@ def synth_scene_dr(key: jax.Array, h: int, w: int
     diffuse = jnp.clip(base * exposure * vig[..., None], 0.0, 1.0) ** gamma
 
     spec = specular_field_dr(k_spec, h, w)
+    if glints:  # dr2: overlay the dense micro-glint layer (static flag)
+        spec = spec + glint_field(k_glint, h, w)
     tint = 1.0 - jax.random.uniform(k_tint, (3,), minval=0.0, maxval=0.08)
     camera = diffuse + spec[..., None] * tint
 
@@ -212,9 +269,10 @@ def synth_scene_dr(key: jax.Array, h: int, w: int
     return camera, mask
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "h", "w", "base_mix"))
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "h", "w", "base_mix", "glints"))
 def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
-                           base_mix: float = 0.5
+                           base_mix: float = 0.5, glints: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(standardized Y (B,h,w,1), mask (B,h,w,1)) mixing both curricula.
 
@@ -222,7 +280,8 @@ def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
     pick (synthetic_jax.synth_specseg_batch — keeps the GAN's own training
     domains covered so the in-graph train step sees no regression), the rest
     from DR camera scenes standardized identically (the single-RGB photo
-    inference domain, reference test.py:21-39).
+    inference domain, reference test.py:21-39). glints=True is the dr2
+    curriculum: DR scenes additionally carry the dense micro-glint layer.
     """
     from shmgan_tpu.ops.color import rgb_to_yuv
     from shmgan_tpu.ops.standardize import per_image_standardization
@@ -237,7 +296,7 @@ def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
         parts_y.append(y_b)
         parts_m.append(m_b)
     if n_dr > 0:
-        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w))(
+        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints))(
             jax.random.split(k_dr, n_dr))
         y = rgb_to_yuv(cam)[..., 0:1]
         y_std, _ = per_image_standardization(y)

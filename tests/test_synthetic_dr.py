@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from shmgan_tpu.data.synthetic_dr import (specular_field_dr, synth_scene_dr,
+from shmgan_tpu.data.synthetic_dr import (glint_field, specular_field_dr,
+                                          synth_scene_dr,
                                           synth_specseg_batch_dr)
 
 H = W = 32
@@ -40,11 +41,71 @@ def test_mask_matches_spec_threshold():
     # split synth_scene_dr uses and check the threshold semantics survive the
     # scene compositing untouched.
     key = jax.random.PRNGKey(3)
-    ks = jax.random.split(key, 11)
+    ks = jax.random.split(key, 12)
     spec = specular_field_dr(ks[4], H, W)
     _, mask = synth_scene_dr(key, H, W)
     expect = (spec > 0.25).astype(jnp.float32)[..., None]
     assert jnp.array_equal(mask, expect)
+
+
+def test_glint_mask_matches_threshold():
+    # dr2 label = (lobes + glints) > 0.25, same semantics, same key split
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 12)
+    spec = specular_field_dr(ks[4], H, W) + glint_field(ks[11], H, W)
+    _, mask = synth_scene_dr(key, H, W, glints=True)
+    expect = (spec > 0.25).astype(jnp.float32)[..., None]
+    assert jnp.array_equal(mask, expect)
+
+
+def _n_components(mask_hw: np.ndarray) -> int:
+    """4-connected component count (tiny pure-python flood fill)."""
+    from collections import deque
+    seen = np.zeros_like(mask_hw, bool)
+    n = 0
+    hh, ww = mask_hw.shape
+    for y in range(hh):
+        for x in range(ww):
+            if mask_hw[y, x] > 0 and not seen[y, x]:
+                n += 1
+                q = deque([(y, x)])
+                seen[y, x] = True
+                while q:
+                    cy, cx = q.popleft()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if (0 <= ny < hh and 0 <= nx < ww
+                                and mask_hw[ny, nx] > 0 and not seen[ny, nx]):
+                            seen[ny, nx] = True
+                            q.append((ny, nx))
+    return n
+
+
+def test_glint_scenes_carry_many_mask_components():
+    # The dr2 raison d'etre: reference-figure photo masks have 30-108
+    # connected components; dr scenes top out at MAX_LOBES=7. dr2 scenes
+    # must be able to exceed that by a wide margin.
+    big = 64
+    keys = jax.random.split(jax.random.PRNGKey(21), 12)
+    counts = []
+    for k in keys:
+        _, m = synth_scene_dr(k, big, big, glints=True)
+        counts.append(_n_components(np.asarray(m[..., 0])))
+    assert max(counts) > 15, f"component counts {counts}"
+    # and the glint layer must not flip label sparsity
+    _, masks = jax.vmap(lambda k: synth_scene_dr(k, big, big, glints=True))(
+        keys)
+    assert float(masks.mean()) < 0.35
+
+
+def test_dr2_batch_contract():
+    y, m = synth_specseg_batch_dr(jax.random.PRNGKey(2), 6, H, W,
+                                  base_mix=0.5, glints=True)
+    assert y.shape == (6, H, W, 1) and m.shape == (6, H, W, 1)
+    # glints=False and glints=True must differ on the DR half of the batch
+    y0, _ = synth_specseg_batch_dr(jax.random.PRNGKey(2), 6, H, W,
+                                   base_mix=0.5, glints=False)
+    assert not jnp.allclose(y, y0)
 
 
 def test_masks_are_sparse_not_brightness_thresholds():
