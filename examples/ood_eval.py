@@ -35,7 +35,12 @@ def log(msg):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--ckpt_dir", type=str, default="")
+    p.add_argument("--bundle", type=str, default="",
+                   help="fp16 inference bundle (checkpoint.load_inference_bundle)"
+                        " — the durable in-repo alternative to --ckpt_dir; the"
+                        " bundle header overrides image_size/filter_size/"
+                        "upsample_mode")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--out", type=str, default="benchmarks/quality_ood")
     p.add_argument("--image_size", type=int, default=128)
@@ -63,7 +68,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from shmgan_tpu.checkpoint import CheckpointManager, load_specseg_weights
+    from shmgan_tpu.checkpoint import (CheckpointManager,
+                                       load_inference_bundle,
+                                       load_specseg_weights)
     from shmgan_tpu.config import Config
     from shmgan_tpu.data.ood import reference_photo_crops, synth_ood_set
     from shmgan_tpu.eval.fid import frechet_distance, specseg_features
@@ -72,6 +79,20 @@ def main(argv=None):
     from shmgan_tpu.ops.color import rgb_to_yuv
     from shmgan_tpu.ops.ssim import ssim as ssim_fn
     from shmgan_tpu.train.state import create_train_state
+
+    if not a.ckpt_dir and not a.bundle:
+        raise SystemExit("one of --ckpt_dir / --bundle is required")
+
+    bundle = None
+    if a.bundle:
+        bundle = load_inference_bundle(a.bundle)
+        hdr = bundle[2]
+        a.image_size = hdr["image_size"]
+        a.filter_size = hdr["filter_size"]
+        a.specseg_base_filters = hdr["specseg_base_filters"]
+        a.upsample_mode = hdr.get("upsample_mode", "conv_transpose")
+        log(f"bundle {a.bundle}: step {hdr.get('step')} "
+            f"@{a.image_size}px {a.upsample_mode}")
 
     cfg = Config()
     cfg.model = dataclasses.replace(
@@ -91,11 +112,16 @@ def main(argv=None):
             image_size=a.image_size)
     state = create_train_state(cfg, jax.random.PRNGKey(0),
                                specseg_vars=specseg_vars)
-    ckpt = CheckpointManager(a.ckpt_dir)
-    restored = ckpt.restore(state, step=a.step)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {a.ckpt_dir}")
-    state = restored
+    if bundle is not None:
+        g_params, bundle_specseg, hdr = bundle
+        state = state.replace(g_params=g_params, specseg_vars=bundle_specseg,
+                              step=int(hdr.get("step", 0)))
+    else:
+        ckpt = CheckpointManager(a.ckpt_dir)
+        restored = ckpt.restore(state, step=a.step)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {a.ckpt_dir}")
+        state = restored
     if specseg_vars is not None:
         # the checkpoint payload carries its own frozen specseg_vars, which
         # restore() just wrote over the injected tree — put the override back
@@ -103,7 +129,11 @@ def main(argv=None):
         # net, e.g. the domain-randomized retrain, under the same generator)
         state = state.replace(specseg_vars=specseg_vars)
         log(f"specseg override: {a.specseg_weights}")
-    eval_g = (state.ema_g_params if a.use_ema and state.ema_g_params is not None
+    # bundles already contain the deployed tree (EMA-substituted at export
+    # time when the run used --g_ema), so --use_ema only applies to ckpt_dir
+    eval_g = (state.ema_g_params
+              if a.use_ema and bundle is None
+              and state.ema_g_params is not None
               else state.g_params)
     log(f"restored checkpoint step {int(state.step)}")
 
