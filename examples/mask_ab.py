@@ -15,7 +15,12 @@ Usage:
   python examples/mask_ab.py \
       --nets base=benchmarks/quality_r2/specseg_synth.msgpack \
              dr=benchmarks/quality_r3_dr/specseg_dr.msgpack \
+      --ensembles both=base+dr \
       --out benchmarks/quality_r3_dr/mask_ab.json
+
+--ensembles rows average the nets' sigmoid probabilities before
+thresholding — the standard variance-reduction move for a domain with the
+high run-to-run transfer variance the dr/dr2/dr3/dr4 campaign measured.
 """
 
 from __future__ import annotations
@@ -40,6 +45,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nets", nargs="+", required=True,
                    help="name=path.msgpack pairs")
+    p.add_argument("--ensembles", nargs="*", default=[],
+                   help="name=netA+netB[+netC...] rows: mean of the named "
+                        "nets' sigmoid probabilities (names from --nets)")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--specseg_base_filters", type=int, default=16)
     p.add_argument("--ood_n", type=int, default=64,
@@ -85,41 +93,66 @@ def main(argv=None):
                 "recall": round(inter / float(max(rb.sum(), 1.0)), 4),
                 "pred_fraction": round(float(pb.mean()), 4)}
 
+    def make_row(ood_pred, ph_pred, meta):
+        row = dict(meta)
+        row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
+        if ph_pred is not None:
+            row["real_photos_vs_reference_masks"] = iou_pr(
+                ph_pred, crops["ref_masks"])
+            # operating-curve diagnostic: where does the IoU peak sit? (a
+            # net whose best threshold is far from 0.5 is mis-calibrated,
+            # one whose peak IoU is low is mis-shaped)
+            row["photo_iou_by_threshold"] = {
+                str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
+                for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
+            # dilation diagnostic: if the net's hits sit INSIDE the
+            # reference regions (adjacency-limited recall), growing the
+            # prediction recovers IoU; if whole components are missed,
+            # it can't. Separates "too tight" from "blind".
+            row["photo_iou_by_dilation"] = {}
+            for rad in (1, 2, 3):
+                k = 2 * rad + 1
+                pb = (ph_pred > 0.5).astype(np.float32)
+                pad = np.pad(pb, ((0, 0), (rad, rad), (rad, rad), (0, 0)))
+                dil = np.max(np.stack(
+                    [pad[:, dy:dy + pb.shape[1], dx:dx + pb.shape[2]]
+                     for dy in range(k) for dx in range(k)]), axis=0)
+                row["photo_iou_by_dilation"][str(rad)] = iou_pr(
+                    dil, crops["ref_masks"])["iou"]
+        return row
+
     results = {}
+    preds = {}  # (net_name, suffix) -> (ood_pred, ph_pred)
     for spec in a.nets:
         base_name, path = spec.split("=", 1)
         vars_ = load_specseg_weights(path, base_filters=a.specseg_base_filters,
                                      image_size=a.image_size)
         for suffix, mask_fn in mask_fns.items():
             name = base_name + suffix
-            row = {"weights": path, "tta": bool(suffix)}
             ood_pred = np.asarray(mask_fn(vars_, jnp.asarray(ood_in)))
-            row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
-            if crops is not None:
-                ph_pred = np.asarray(mask_fn(vars_,
-                                             jnp.asarray(crops["inputs"])))
-                row["real_photos_vs_reference_masks"] = iou_pr(
-                    ph_pred, crops["ref_masks"])
-                # operating-curve diagnostic: where does the IoU peak sit? (a
-                # net whose best threshold is far from 0.5 is mis-calibrated,
-                # one whose peak IoU is low is mis-shaped)
-                row["photo_iou_by_threshold"] = {
-                    str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
-                    for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
-                # dilation diagnostic: if the net's hits sit INSIDE the
-                # reference regions (adjacency-limited recall), growing the
-                # prediction recovers IoU; if whole components are missed,
-                # it can't. Separates "too tight" from "blind".
-                row["photo_iou_by_dilation"] = {}
-                for rad in (1, 2, 3):
-                    k = 2 * rad + 1
-                    pb = (ph_pred > 0.5).astype(np.float32)
-                    pad = np.pad(pb, ((0, 0), (rad, rad), (rad, rad), (0, 0)))
-                    dil = np.max(np.stack(
-                        [pad[:, dy:dy + pb.shape[1], dx:dx + pb.shape[2]]
-                         for dy in range(k) for dx in range(k)]), axis=0)
-                    row["photo_iou_by_dilation"][str(rad)] = iou_pr(
-                        dil, crops["ref_masks"])["iou"]
+            ph_pred = (np.asarray(mask_fn(vars_, jnp.asarray(crops["inputs"])))
+                       if crops is not None else None)
+            preds[(base_name, suffix)] = (ood_pred, ph_pred)
+            row = make_row(ood_pred, ph_pred,
+                           {"weights": path, "tta": bool(suffix)})
+            results[name] = row
+            log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
+                f"photo={row.get('real_photos_vs_reference_masks')}")
+
+    for spec in a.ensembles:
+        ens_name, members_s = spec.split("=", 1)
+        members = members_s.split("+")
+        for suffix in mask_fns:
+            name = ens_name + suffix
+            missing = [m for m in members if (m, suffix) not in preds]
+            if missing:
+                log(f"skip ensemble {name}: unknown nets {missing}")
+                continue
+            ood_pred = np.mean([preds[(m, suffix)][0] for m in members], axis=0)
+            ph_pred = (np.mean([preds[(m, suffix)][1] for m in members], axis=0)
+                       if crops is not None else None)
+            row = make_row(ood_pred, ph_pred,
+                           {"ensemble_of": members, "tta": bool(suffix)})
             results[name] = row
             log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
                 f"photo={row.get('real_photos_vs_reference_masks')}")
