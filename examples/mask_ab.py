@@ -56,12 +56,22 @@ def main(argv=None):
     p.add_argument("--tta", action="store_true",
                    help="also report each net with dihedral mask TTA "
                         "(rows named '<name>+tta')")
+    p.add_argument("--prior", action="store_true",
+                   help="also report each net fused with the dichromatic "
+                        "chroma prior (ops/specprior.py; rows named "
+                        "'<name>+prior')")
     p.add_argument("--cpu", action="store_true")
     a = p.parse_args(argv)
 
     if a.cpu:
+        # env vars alone are NOT enough on this rig: sitecustomize imports
+        # jax at interpreter startup with the axon (TPU) platform, so the
+        # config update is what actually flips the backend (same pattern as
+        # ood_eval.py; without it a --cpu run silently grabs the TPU relay)
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -78,6 +88,10 @@ def main(argv=None):
     mask_fns = {"": make_mask_fn(cfg)}
     if a.tta:
         mask_fns["+tta"] = make_mask_fn(cfg, tta=True)
+    if a.prior:
+        mask_fns["+prior"] = make_mask_fn(cfg, prior=True)
+        if a.tta:
+            mask_fns["+tta+prior"] = make_mask_fn(cfg, tta=True, prior=True)
     log(f"backend: {jax.default_backend()}")
 
     crops = reference_photo_crops(a.image_size)

@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mask_tta", action="store_true",
                    help="dihedral mask TTA in the inference graph")
+    p.add_argument("--mask_chroma_prior", action="store_true",
+                   help="fuse the dichromatic chroma prior into the "
+                        "inference-path mask (ops/specprior.py)")
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--seed", type=int, default=4242)
     p.add_argument("--batch", type=int, default=8)
@@ -103,6 +106,8 @@ def main(argv=None):
         cfg.train = dataclasses.replace(cfg.train, g_ema=0.999)
     if a.mask_tta:
         cfg.eval = dataclasses.replace(cfg.eval, mask_tta=True)
+    if a.mask_chroma_prior:
+        cfg.eval = dataclasses.replace(cfg.eval, mask_chroma_prior=True)
     log(f"backend: {jax.default_backend()}")
 
     specseg_vars = None

