@@ -76,22 +76,35 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from shmgan_tpu.checkpoint import load_specseg_weights
+    from shmgan_tpu.checkpoint import (load_specseg_weights,
+                                       specseg_msgpack_in_channels)
     from shmgan_tpu.config import Config
     from shmgan_tpu.data.ood import reference_photo_crops, synth_ood_set
     from shmgan_tpu.infer import make_mask_fn
 
-    cfg = Config()
-    cfg.model = dataclasses.replace(
-        cfg.model, image_size=a.image_size,
-        specseg_base_filters=a.specseg_base_filters, compute_dtype="float32")
-    mask_fns = {"": make_mask_fn(cfg)}
+    variants = {"": dict()}
     if a.tta:
-        mask_fns["+tta"] = make_mask_fn(cfg, tta=True)
+        variants["+tta"] = dict(tta=True)
     if a.prior:
-        mask_fns["+prior"] = make_mask_fn(cfg, prior=True)
+        variants["+prior"] = dict(prior=True)
         if a.tta:
-            mask_fns["+tta+prior"] = make_mask_fn(cfg, tta=True, prior=True)
+            variants["+tta+prior"] = dict(tta=True, prior=True)
+
+    # mask fns are built lazily per (variant, in_channels): 1-channel parity
+    # nets and 2-channel chroma-input nets (auto-detected from the msgpack)
+    # evaluate through the same rows
+    _fn_cache = {}
+
+    def mask_fn_for(suffix, in_ch):
+        key = (suffix, in_ch)
+        if key not in _fn_cache:
+            cfg = Config()
+            cfg.model = dataclasses.replace(
+                cfg.model, image_size=a.image_size,
+                specseg_base_filters=a.specseg_base_filters,
+                specseg_in_channels=in_ch, compute_dtype="float32")
+            _fn_cache[key] = make_mask_fn(cfg, **variants[suffix])
+        return _fn_cache[key]
     log(f"backend: {jax.default_backend()}")
 
     crops = reference_photo_crops(a.image_size)
@@ -141,14 +154,18 @@ def main(argv=None):
         base_name, path = spec.split("=", 1)
         vars_ = load_specseg_weights(path, base_filters=a.specseg_base_filters,
                                      image_size=a.image_size)
-        for suffix, mask_fn in mask_fns.items():
+        in_ch = (specseg_msgpack_in_channels(path)
+                 if path.endswith(".msgpack") else 1)
+        for suffix in variants:
+            mask_fn = mask_fn_for(suffix, in_ch)
             name = base_name + suffix
             ood_pred = np.asarray(mask_fn(vars_, jnp.asarray(ood_in)))
             ph_pred = (np.asarray(mask_fn(vars_, jnp.asarray(crops["inputs"])))
                        if crops is not None else None)
             preds[(base_name, suffix)] = (ood_pred, ph_pred)
             row = make_row(ood_pred, ph_pred,
-                           {"weights": path, "tta": bool(suffix)})
+                           {"weights": path, "tta": bool(suffix),
+                            "in_channels": in_ch})
             results[name] = row
             log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "
                 f"photo={row.get('real_photos_vs_reference_masks')}")
@@ -156,7 +173,7 @@ def main(argv=None):
     for spec in a.ensembles:
         ens_name, members_s = spec.split("=", 1)
         members = members_s.split("+")
-        for suffix in mask_fns:
+        for suffix in variants:
             name = ens_name + suffix
             missing = [m for m in members if (m, suffix) not in preds]
             if missing:

@@ -102,6 +102,10 @@ def main(argv=None):
         cfg.model, image_size=a.image_size, filter_size=a.filter_size,
         specseg_base_filters=a.specseg_base_filters, compute_dtype="float32",
         upsample_mode=a.upsample_mode)
+    if bundle is not None:
+        cfg.model = dataclasses.replace(
+            cfg.model,
+            specseg_in_channels=bundle[2].get("specseg_in_channels", 1))
     if a.use_ema:
         cfg.train = dataclasses.replace(cfg.train, g_ema=0.999)
     if a.mask_tta:
@@ -115,6 +119,15 @@ def main(argv=None):
         specseg_vars = load_specseg_weights(
             a.specseg_weights, base_filters=a.specseg_base_filters,
             image_size=a.image_size)
+        if a.specseg_weights.endswith(".msgpack"):
+            # chroma-input nets (ops/specprior.py) carry 2 input channels —
+            # the inference graph must be built to feed them
+            from shmgan_tpu.checkpoint import specseg_msgpack_in_channels
+            in_ch = specseg_msgpack_in_channels(a.specseg_weights)
+            if in_ch != cfg.model.specseg_in_channels:
+                cfg.model = dataclasses.replace(
+                    cfg.model, specseg_in_channels=in_ch)
+                log(f"specseg in_channels={in_ch} (auto-detected)")
     state = create_train_state(cfg, jax.random.PRNGKey(0),
                                specseg_vars=specseg_vars)
     if bundle is not None:

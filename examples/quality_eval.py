@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--mask_tta", action="store_true",
                    help="dihedral mask TTA in the inference graph")
     p.add_argument("--eval_n", type=int, default=128)
+    p.add_argument("--specseg_in_channels", type=int, default=1, choices=[1, 2],
+                   help="2 when the checkpoint's SpecSeg is chroma-input "
+                        "(ops/specprior.py) — the restore template must match")
     p.add_argument("--seed", type=int, default=999,
                    help="held-out scene seed (never used in training)")
     p.add_argument("--batch", type=int, default=16)
@@ -85,6 +88,7 @@ def main(argv=None):
     cfg.model = dataclasses.replace(
         cfg.model, image_size=a.image_size, filter_size=a.filter_size,
         specseg_base_filters=a.specseg_base_filters, compute_dtype="float32",
+        specseg_in_channels=a.specseg_in_channels,
         upsample_mode=a.upsample_mode)
     if a.use_ema:
         # template needs the EMA slot for restore to pick it up (restore seeds

@@ -264,19 +264,36 @@ def save_specseg_msgpack(specseg_vars: Any, path: str) -> None:
         f.write(flax.serialization.to_bytes(jax.device_get(specseg_vars)))
 
 
+def specseg_msgpack_in_channels(path: str) -> int:
+    """Input-channel count a saved SpecSeg msgpack was trained with, read off
+    the first conv kernel's shape (HWIO -> index 2). Lets every surface load
+    1-channel (parity) and 2-channel (chroma-input, ops/specprior.py) nets
+    through the same flag-free path."""
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    return int(np.asarray(raw["params"]["down0"]["conv0"]["kernel"]).shape[2])
+
+
 def load_specseg_msgpack(path: str, base_filters: int = 16,
-                         image_size: int = 128) -> Any:
+                         image_size: int = 128,
+                         in_channels: Optional[int] = None) -> Any:
     """Load a SpecSeg variable tree saved by save_specseg_msgpack. The template
-    tree comes from a fresh init (shapes only; eval_shape keeps it cheap)."""
+    tree comes from a fresh init (shapes only; eval_shape keeps it cheap);
+    in_channels=None reads the count from the file itself."""
     import flax.serialization
     import jax.numpy as jnp
 
     from shmgan_tpu.models import SpecSeg
 
+    if in_channels is None:
+        in_channels = specseg_msgpack_in_channels(path)
     net = SpecSeg(base_filters=base_filters)
     template = jax.eval_shape(
         lambda: net.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, image_size, image_size, 1), jnp.float32),
+                         jnp.zeros((1, image_size, image_size, in_channels),
+                                   jnp.float32),
                          train=False))
     template = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), template)
@@ -286,7 +303,8 @@ def load_specseg_msgpack(path: str, base_filters: int = 16,
 
 def load_specseg_weights(path: str, base_filters: int = 16,
                          image_size: int = 128) -> Any:
-    """Dispatch on extension: .h5 (reference keras format) or .msgpack (native)."""
+    """Dispatch on extension: .h5 (reference keras format, always 1-channel)
+    or .msgpack (native; input-channel count auto-detected)."""
     if path.endswith(".msgpack"):
         return load_specseg_msgpack(path, base_filters=base_filters,
                                     image_size=image_size)
@@ -331,6 +349,7 @@ def export_inference_bundle(state, cfg, path: str,
               "filter_size": cfg.model.filter_size,
               "c_dim": cfg.model.c_dim,
               "specseg_base_filters": cfg.model.specseg_base_filters,
+              "specseg_in_channels": cfg.model.specseg_in_channels,
               # both upsample modes share one param-tree structure, so the
               # bytes load either way — the header is what keeps the serving
               # graph on the op the weights were trained for
@@ -362,6 +381,7 @@ def load_inference_bundle(path: str):
         cfg.model, image_size=header["image_size"],
         filter_size=header["filter_size"], c_dim=header["c_dim"],
         specseg_base_filters=header["specseg_base_filters"],
+        specseg_in_channels=header.get("specseg_in_channels", 1),
         upsample_mode=header.get("upsample_mode", "conv_transpose"))
     gen, _disc, specseg = build_models(cfg)
     h = w = cfg.model.image_size
@@ -371,7 +391,9 @@ def load_inference_bundle(path: str):
         kg, ks = jax.random.split(jax.random.PRNGKey(0))
         g = gen.init(kg, jnp.zeros((1, h, w, 2 * c), jnp.float32),
                      jnp.zeros((1, h, w, 1), jnp.float32))["params"]
-        s = specseg.init(ks, jnp.zeros((1, h, w, 1), jnp.float32), train=False)
+        s = specseg.init(
+            ks, jnp.zeros((1, h, w, cfg.model.specseg_in_channels),
+                          jnp.float32), train=False)
         return {"g_params": g, "specseg_vars": s}
 
     template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),

@@ -101,6 +101,14 @@ def _restored_state(cfg: Config):
             cfg.eval.specseg_weights,
             base_filters=cfg.model.specseg_base_filters,
             image_size=cfg.model.image_size)
+        if cfg.eval.specseg_weights.endswith(".msgpack"):
+            # chroma-input nets carry 2 input channels; keep the graph in sync
+            from shmgan_tpu.checkpoint import specseg_msgpack_in_channels
+            in_ch = specseg_msgpack_in_channels(cfg.eval.specseg_weights)
+            if in_ch != cfg.model.specseg_in_channels:
+                import dataclasses
+                cfg.model = dataclasses.replace(
+                    cfg.model, specseg_in_channels=in_ch)
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                specseg_vars=specseg_vars)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
@@ -138,6 +146,7 @@ def _serving_weights(cfg: Config):
             cfg.model, image_size=header["image_size"],
             filter_size=header["filter_size"], c_dim=header["c_dim"],
             specseg_base_filters=header["specseg_base_filters"],
+            specseg_in_channels=header.get("specseg_in_channels", 1),
             upsample_mode=header.get("upsample_mode", "conv_transpose"))
         print(f"[serve] loaded bundle step {header['step']} "
               f"({cfg.serve.weights_bundle}); model config from header: "

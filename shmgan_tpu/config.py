@@ -57,6 +57,14 @@ class ModelConfig:
     d_repeat_num: int = 6          # dead in reference; kept for CLI parity
     # SpecSeg U-Net widths (SpecSeg.py:34-88): 16->32->64->128->256
     specseg_base_filters: int = 16
+    # SpecSeg input channels. 1 = reference parity (standardized luma only,
+    # ShmGANwithSSpecSeg.py:930-931). 2 = chroma-aware divergence: channel 2
+    # is the dichromatic chroma prior (ops/specprior.py) computed from the
+    # same RGB the luma came from, so the net can LEARN where to trust the
+    # physics cue instead of the fixed output-mean fusion of
+    # eval.mask_chroma_prior. Changes the first conv's kernel shape — the
+    # parity param goldens apply to in_channels=1 only.
+    specseg_in_channels: int = 1
     # Instance-norm epsilon (tfa InstanceNormalization eps, ShmGANwithSSpecSeg.py:245)
     instance_norm_eps: float = 1e-6
     leaky_relu_slope: float = 0.2  # tf.nn.leaky_relu default alpha
@@ -322,6 +330,11 @@ class Config:
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
                        choices=["conv_transpose", "resize_conv"])
+        p.add_argument("--specseg_in_channels", type=int, default=1,
+                       choices=[1, 2],
+                       help="SpecSeg input channels: 1 = parity (luma only), "
+                            "2 = + dichromatic chroma prior channel "
+                            "(ops/specprior.py; needs matching weights)")
         p.add_argument("--remat", type=str, default="none",
                        choices=["none", "models", "disc", "gen"],
                        help="rematerialize model forwards in the train step "
@@ -339,7 +352,8 @@ class Config:
         cfg.model = dataclasses.replace(
             cfg.model, image_size=a.image_size, filter_size=a.filter_size,
             c_dim=a.c_dim, d_repeat_num=a.d_repeat_num,
-            compute_dtype=a.compute_dtype, upsample_mode=a.upsample_mode)
+            compute_dtype=a.compute_dtype, upsample_mode=a.upsample_mode,
+            specseg_in_channels=a.specseg_in_channels)
         cfg.train = dataclasses.replace(
             cfg.train, batch_size=a.batch_size, num_epochs=a.num_epochs,
             n_critic=a.n_critic, log_step=a.log_step,

@@ -303,3 +303,43 @@ def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
         parts_y.append(y_std)
         parts_m.append(m_d)
     return jnp.concatenate(parts_y), jnp.concatenate(parts_m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "h", "w", "base_mix", "glints"))
+def synth_specseg_batch_dr_chroma(key: jax.Array, batch: int, h: int, w: int,
+                                  base_mix: float = 0.5, glints: bool = False
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """((B,h,w,2) [standardized Y | chroma prior], mask (B,h,w,1)).
+
+    The chroma-input curriculum (cfg.model.specseg_in_channels == 2): same
+    scene mix as synth_specseg_batch_dr, but each sample keeps its RGB long
+    enough to compute ops/specprior.chroma_prior as a second input channel —
+    exactly what the inference surfaces feed a 2-channel net
+    (infer.py::make_mask_fn / make_infer_fn via specseg_net_input). DR scenes
+    carry tinted additive highlights over colored textures, so the channel is
+    informative, not constant; base-curriculum picks go through the same
+    function for train/serve consistency.
+    """
+    from shmgan_tpu.data.synthetic_jax import synth_specseg_rgb_batch
+    from shmgan_tpu.ops.color import rgb_to_yuv
+    from shmgan_tpu.ops.specprior import specseg_net_input
+    from shmgan_tpu.ops.standardize import per_image_standardization
+
+    n_base = int(batch * base_mix)
+    n_dr = batch - n_base
+    k_base, k_dr = jax.random.split(key)
+
+    parts_rgb, parts_m = [], []
+    if n_base > 0:
+        rgb_b, m_b = synth_specseg_rgb_batch(k_base, n_base, h, w)
+        parts_rgb.append(rgb_b)
+        parts_m.append(m_b)
+    if n_dr > 0:
+        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints))(
+            jax.random.split(k_dr, n_dr))
+        parts_rgb.append(cam)
+        parts_m.append(m_d)
+    rgb = jnp.concatenate(parts_rgb)
+    y_std, _ = per_image_standardization(rgb_to_yuv(rgb)[..., 0:1])
+    return specseg_net_input(y_std, rgb, 2), jnp.concatenate(parts_m)

@@ -162,15 +162,24 @@ def synth_specseg_batch(key: jax.Array, batch: int, h: int, w: int
     from shmgan_tpu.ops.color import rgb_to_yuv
     from shmgan_tpu.ops.standardize import per_image_standardization
 
+    rgb, mask = synth_specseg_rgb_batch(key, batch, h, w)
+    y = rgb_to_yuv(rgb)[..., 0:1]
+    y_std, _ = per_image_standardization(y)
+    return y_std, mask
+
+
+def synth_specseg_rgb_batch(key: jax.Array, batch: int, h: int, w: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(RGB (B,h,w,3) in [0,1], mask (B,h,w,1)) — the pre-luma stage of
+    synth_specseg_batch, for consumers that need the color image too (the
+    chroma-input SpecSeg curriculum computes its prior channel from it)."""
     k_scenes, k_pick = jax.random.split(key)
     views, _diffuse, mask, camera = jax.vmap(
         lambda k: synth_scene(k, h, w))(jax.random.split(k_scenes, batch))
     pool = jnp.concatenate([views, camera[:, None]], axis=1)  # (B, 5, h, w, 3)
     pick = jax.random.randint(k_pick, (batch,), 0, 5)
     rgb = jnp.take_along_axis(pool, pick[:, None, None, None, None], axis=1)[:, 0]
-    y = rgb_to_yuv(rgb)[..., 0:1]
-    y_std, _ = per_image_standardization(y)
-    return y_std, mask
+    return rgb, mask
 
 
 @functools.partial(jax.jit, static_argnames=("n", "h", "w"))

@@ -23,7 +23,8 @@ from jax import lax
 
 from shmgan_tpu.config import Config
 from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
-from shmgan_tpu.ops.specprior import chroma_prior, fuse_mask_prior
+from shmgan_tpu.ops.specprior import (chroma_prior, fuse_mask_prior,
+                                      specseg_net_input)
 from shmgan_tpu.ops.standardize import per_image_standardization
 from shmgan_tpu.train.state import build_models
 
@@ -164,7 +165,10 @@ def make_infer_fn(cfg: Config, with_cyclic: bool = False, outputs=None,
         y = yuv[..., 0:1]
         cbcr = yuv[..., 1:]
 
-        mask = _specseg_mask(specseg, specseg_vars, y, cfg.eval.mask_tta)
+        # in_channels=2 feeds the chroma prior as a learned input channel
+        # (chroma-trained nets); independent of the output-mean fusion below
+        net_in = specseg_net_input(y, rgb, cfg.model.specseg_in_channels)
+        mask = _specseg_mask(specseg, specseg_vars, net_in, cfg.eval.mask_tta)
         if cfg.eval.mask_chroma_prior:
             # dichromatic physics cue the luma-only net cannot see
             # (ops/specprior.py; +26% real-photo mask IoU, no domain regressed)
@@ -323,7 +327,9 @@ def make_mask_fn(cfg: Config, tta: bool = False, prior: bool = None):
     @jax.jit
     def mask_fn(specseg_vars, rgb: jnp.ndarray) -> jnp.ndarray:
         yuv, _ = per_image_standardization(rgb_to_yuv(rgb))
-        mask = _specseg_mask(specseg, specseg_vars, yuv[..., 0:1], tta)
+        net_in = specseg_net_input(yuv[..., 0:1], rgb,
+                                   cfg.model.specseg_in_channels)
+        mask = _specseg_mask(specseg, specseg_vars, net_in, tta)
         if prior:
             mask = fuse_mask_prior(mask, chroma_prior(rgb))
         return mask

@@ -97,3 +97,20 @@ def fuse_mask_prior(p_net: jnp.ndarray, prior: jnp.ndarray) -> jnp.ndarray:
     only fusion that improved every domain at t=0.5 (module docstring).
     """
     return 0.5 * (p_net.astype(jnp.float32) + prior)
+
+
+def specseg_net_input(y_std: jnp.ndarray, rgb: jnp.ndarray,
+                      in_channels: int) -> jnp.ndarray:
+    """Build the SpecSeg input for a given cfg.model.specseg_in_channels.
+
+    in_channels=1 is reference parity (standardized luma alone); 2 appends
+    chroma_prior(rgb) as a second channel so a chroma-trained net can learn
+    a spatial trust map for the physics cue (the output-mean fusion of
+    fuse_mask_prior applies it uniformly). rgb must be the SAME image y_std
+    was standardized from, in [0, 1].
+    """
+    if in_channels == 1:
+        return y_std
+    if in_channels == 2:
+        return jnp.concatenate([y_std, chroma_prior(rgb)], axis=-1)
+    raise ValueError(f"specseg_in_channels must be 1 or 2, got {in_channels}")

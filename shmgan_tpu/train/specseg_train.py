@@ -33,7 +33,8 @@ class SpecSegTrainState(flax.struct.PyTreeNode):
 
 def create_specseg_state(cfg: Config, rng: jax.Array) -> SpecSegTrainState:
     net = SpecSeg(base_filters=cfg.model.specseg_base_filters)
-    y = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 1), jnp.float32)
+    y = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size,
+                   cfg.model.specseg_in_channels), jnp.float32)
     variables = net.init(rng, y, train=False)
     tx = optax.chain(
         optax.clip(cfg.train.grad_clip),

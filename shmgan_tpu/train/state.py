@@ -90,7 +90,7 @@ def create_train_state(cfg: Config, rng: jax.Array,
     x = jnp.zeros((1, h, w, 2 * c), jnp.float32)
     mask = jnp.zeros((1, h, w, 1), jnp.float32)
     rgb = jnp.zeros((1, h, w, 3), jnp.float32)
-    y1 = jnp.zeros((1, h, w, 1), jnp.float32)
+    y1 = jnp.zeros((1, h, w, cfg.model.specseg_in_channels), jnp.float32)
 
     g_params = gen.init(kg, x, mask)["params"]
     d_params = disc.init({"params": kd}, rgb, mask, train=False)["params"]

@@ -47,6 +47,7 @@ from jax import lax
 
 from shmgan_tpu.config import Config
 from shmgan_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
+from shmgan_tpu.ops.specprior import specseg_net_input
 from shmgan_tpu.ops.ssim import ssim as ssim_fn
 from shmgan_tpu.ops.standardize import per_image_standardization, rescale_01_per_image
 from shmgan_tpu.train.losses import GanLossInputs, lsgan_to_target, shmgan_losses
@@ -136,9 +137,13 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
         ds_yuv, y_planes, avg_cbcr = preprocess_views(views)
 
         # ---- SpecSeg mask from the standardized I90 Y channel (:492), frozen.
+        # in_channels=2 (chroma-trained nets) appends the dichromatic prior
+        # computed from the SAME raw I90 RGB view the luma came from.
         i90_y = y_planes[..., 2:3]
+        ss_in = specseg_net_input(i90_y, views[2],
+                                  cfg.model.specseg_in_channels)
         specseg_vars = jax.tree_util.tree_map(lax.stop_gradient, state.specseg_vars)
-        mask = specseg.apply(specseg_vars, i90_y, train=False)
+        mask = specseg.apply(specseg_vars, ss_in, train=False)
         mask = lax.stop_gradient(mask)
 
         # ---- Bernoulli input-channel dropout (:509-521). drop[i]=1 -> channel i
