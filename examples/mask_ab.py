@@ -77,7 +77,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from shmgan_tpu.checkpoint import (load_specseg_weights,
-                                       specseg_msgpack_in_channels)
+                                       specseg_in_channels_of)
     from shmgan_tpu.config import Config
     from shmgan_tpu.data.ood import reference_photo_crops, synth_ood_set
     from shmgan_tpu.infer import make_mask_fn
@@ -154,8 +154,7 @@ def main(argv=None):
         base_name, path = spec.split("=", 1)
         vars_ = load_specseg_weights(path, base_filters=a.specseg_base_filters,
                                      image_size=a.image_size)
-        in_ch = (specseg_msgpack_in_channels(path)
-                 if path.endswith(".msgpack") else 1)
+        in_ch = specseg_in_channels_of(vars_)
         for suffix in variants:
             mask_fn = mask_fn_for(suffix, in_ch)
             name = base_name + suffix
@@ -164,7 +163,8 @@ def main(argv=None):
                        if crops is not None else None)
             preds[(base_name, suffix)] = (ood_pred, ph_pred)
             row = make_row(ood_pred, ph_pred,
-                           {"weights": path, "tta": bool(suffix),
+                           {"weights": path, "tta": "tta" in suffix,
+                            "prior": "prior" in suffix,
                             "in_channels": in_ch})
             results[name] = row
             log(f"{name}: ood_iou={row['synthetic_ood_vs_gt']['iou']} "

@@ -48,6 +48,14 @@ def main(argv=None):
     p.add_argument("--specseg_base_filters", type=int, default=16)
     p.add_argument("--specseg_weights", type=str, default="",
                    help="frozen SpecSeg msgpack (defaults to the checkpoint's)")
+    p.add_argument("--specseg_in_channels", type=int, default=1,
+                   choices=[1, 2],
+                   help="input channels of the CHECKPOINT's frozen SpecSeg "
+                        "(--ckpt_dir path only; bundles and --specseg_weights "
+                        "auto-detect). Set 2 when the checkpoint's SpecSeg "
+                        "was trained chroma-input — restoring it into a "
+                        "1-channel graph fails with a conv kernel shape "
+                        "error at apply time")
     p.add_argument("--upsample_mode", choices=["conv_transpose", "resize_conv"],
                    default="conv_transpose")
     p.add_argument("--use_ema", action="store_true")
@@ -101,7 +109,8 @@ def main(argv=None):
     cfg.model = dataclasses.replace(
         cfg.model, image_size=a.image_size, filter_size=a.filter_size,
         specseg_base_filters=a.specseg_base_filters, compute_dtype="float32",
-        upsample_mode=a.upsample_mode)
+        upsample_mode=a.upsample_mode,
+        specseg_in_channels=a.specseg_in_channels)
     if bundle is not None:
         cfg.model = dataclasses.replace(
             cfg.model,
@@ -119,15 +128,15 @@ def main(argv=None):
         specseg_vars = load_specseg_weights(
             a.specseg_weights, base_filters=a.specseg_base_filters,
             image_size=a.image_size)
-        if a.specseg_weights.endswith(".msgpack"):
-            # chroma-input nets (ops/specprior.py) carry 2 input channels —
-            # the inference graph must be built to feed them
-            from shmgan_tpu.checkpoint import specseg_msgpack_in_channels
-            in_ch = specseg_msgpack_in_channels(a.specseg_weights)
-            if in_ch != cfg.model.specseg_in_channels:
-                cfg.model = dataclasses.replace(
-                    cfg.model, specseg_in_channels=in_ch)
-                log(f"specseg in_channels={in_ch} (auto-detected)")
+        # chroma-input nets (ops/specprior.py) carry 2 input channels — the
+        # inference graph must be built to feed them (read off the loaded
+        # tree — no second parse of the file)
+        from shmgan_tpu.checkpoint import specseg_in_channels_of
+        in_ch = specseg_in_channels_of(specseg_vars)
+        if in_ch != cfg.model.specseg_in_channels:
+            cfg.model = dataclasses.replace(
+                cfg.model, specseg_in_channels=in_ch)
+            log(f"specseg in_channels={in_ch} (auto-detected)")
     state = create_train_state(cfg, jax.random.PRNGKey(0),
                                specseg_vars=specseg_vars)
     if bundle is not None:

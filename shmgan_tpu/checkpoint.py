@@ -264,16 +264,25 @@ def save_specseg_msgpack(specseg_vars: Any, path: str) -> None:
         f.write(flax.serialization.to_bytes(jax.device_get(specseg_vars)))
 
 
+def specseg_in_channels_of(specseg_vars: Any) -> int:
+    """Input-channel count of an ALREADY-LOADED SpecSeg variable tree (or raw
+    msgpack-restored state dict — same key layout), read off the first conv
+    kernel's shape (HWIO -> index 2). Lets every surface distinguish 1-channel
+    (parity) and 2-channel (chroma-input, ops/specprior.py) nets without
+    re-reading the weight file."""
+    return int(np.asarray(
+        specseg_vars["params"]["down0"]["conv0"]["kernel"]).shape[2])
+
+
 def specseg_msgpack_in_channels(path: str) -> int:
-    """Input-channel count a saved SpecSeg msgpack was trained with, read off
-    the first conv kernel's shape (HWIO -> index 2). Lets every surface load
-    1-channel (parity) and 2-channel (chroma-input, ops/specprior.py) nets
-    through the same flag-free path."""
+    """Input-channel count a saved SpecSeg msgpack was trained with. Parses
+    the whole file; when the tree is already loaded prefer
+    specseg_in_channels_of (load_specseg_msgpack parses only once)."""
     import flax.serialization
 
     with open(path, "rb") as f:
         raw = flax.serialization.msgpack_restore(f.read())
-    return int(np.asarray(raw["params"]["down0"]["conv0"]["kernel"]).shape[2])
+    return specseg_in_channels_of(raw)
 
 
 def load_specseg_msgpack(path: str, base_filters: int = 16,
@@ -281,14 +290,17 @@ def load_specseg_msgpack(path: str, base_filters: int = 16,
                          in_channels: Optional[int] = None) -> Any:
     """Load a SpecSeg variable tree saved by save_specseg_msgpack. The template
     tree comes from a fresh init (shapes only; eval_shape keeps it cheap);
-    in_channels=None reads the count from the file itself."""
+    in_channels=None reads the count from the file itself. The multi-MB file
+    is parsed exactly once — auto-detection reads the raw restored tree."""
     import flax.serialization
     import jax.numpy as jnp
 
     from shmgan_tpu.models import SpecSeg
 
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
     if in_channels is None:
-        in_channels = specseg_msgpack_in_channels(path)
+        in_channels = specseg_in_channels_of(raw)
     net = SpecSeg(base_filters=base_filters)
     template = jax.eval_shape(
         lambda: net.init(jax.random.PRNGKey(0),
@@ -297,14 +309,15 @@ def load_specseg_msgpack(path: str, base_filters: int = 16,
                          train=False))
     template = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), template)
-    with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+    return flax.serialization.from_state_dict(template, raw)
 
 
 def load_specseg_weights(path: str, base_filters: int = 16,
                          image_size: int = 128) -> Any:
     """Dispatch on extension: .h5 (reference keras format, always 1-channel)
-    or .msgpack (native; input-channel count auto-detected)."""
+    or .msgpack (native; input-channel count auto-detected). Callers needing
+    the detected count should call specseg_in_channels_of on the result
+    instead of re-parsing the file."""
     if path.endswith(".msgpack"):
         return load_specseg_msgpack(path, base_filters=base_filters,
                                     image_size=image_size)

@@ -101,14 +101,14 @@ def _restored_state(cfg: Config):
             cfg.eval.specseg_weights,
             base_filters=cfg.model.specseg_base_filters,
             image_size=cfg.model.image_size)
-        if cfg.eval.specseg_weights.endswith(".msgpack"):
-            # chroma-input nets carry 2 input channels; keep the graph in sync
-            from shmgan_tpu.checkpoint import specseg_msgpack_in_channels
-            in_ch = specseg_msgpack_in_channels(cfg.eval.specseg_weights)
-            if in_ch != cfg.model.specseg_in_channels:
-                import dataclasses
-                cfg.model = dataclasses.replace(
-                    cfg.model, specseg_in_channels=in_ch)
+        # chroma-input nets carry 2 input channels; keep the graph in sync
+        # (read off the already-loaded tree — no second parse of the file)
+        from shmgan_tpu.checkpoint import specseg_in_channels_of
+        in_ch = specseg_in_channels_of(specseg_vars)
+        if in_ch != cfg.model.specseg_in_channels:
+            import dataclasses
+            cfg.model = dataclasses.replace(
+                cfg.model, specseg_in_channels=in_ch)
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                specseg_vars=specseg_vars)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,

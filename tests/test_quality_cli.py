@@ -120,3 +120,34 @@ class TestRelaySafeSegmenting:
         # string-typed since 'auto' (AdaptiveSegmenter) became a value;
         # the default stays the bisected static table
         assert qt.parse_args(["--phase", "gan"]).max_segment == "-1"
+
+
+class TestBestCheckpointGate:
+    """Multi-metric best-checkpoint selection (VERDICT r3 weak #5): PSNR must
+    improve AND FID must stay within tolerance of the lowest FID seen — the
+    PSNR-only rule crowned a checkpoint whose FID had jumped 2.17 -> 15.15."""
+
+    def test_first_eval_always_wins(self):
+        qt = _load_quality_train()
+        assert qt.is_better_checkpoint({"psnr": -1.0}, 20.0, 40.0,
+                                       float("inf"))
+
+    def test_psnr_regression_rejected(self):
+        qt = _load_quality_train()
+        assert not qt.is_better_checkpoint({"psnr": 30.0}, 29.5, 1.0, 2.0)
+
+    def test_fid_cliff_rejected_even_with_better_psnr(self):
+        # the quality_r3_256 scenario: PSNR inches up, FID collapses 2.17->15
+        qt = _load_quality_train()
+        assert not qt.is_better_checkpoint({"psnr": 33.1}, 33.2, 15.15, 2.17)
+
+    def test_small_fid_noise_tolerated(self):
+        # absolute term: 2.17 -> 3.5 is noise at this scale, not a collapse
+        qt = _load_quality_train()
+        assert qt.is_better_checkpoint({"psnr": 33.1}, 33.2, 3.5, 2.17)
+
+    def test_relative_term_scales_with_large_fid(self):
+        # early training: FID 40 -> 50 while PSNR climbs is normal progress
+        qt = _load_quality_train()
+        assert qt.is_better_checkpoint({"psnr": 20.0}, 22.0, 50.0, 40.0)
+        assert not qt.is_better_checkpoint({"psnr": 20.0}, 22.0, 80.0, 40.0)
