@@ -221,13 +221,16 @@ def glint_field(key: jax.Array, h: int, w: int) -> jnp.ndarray:
     return jnp.sum(spots * active * amp[:, None, None], axis=0)
 
 
-def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One DR scene -> (camera (h,w,3) in [0,1], mask (h,w,1)).
+def _scene_dr_parts(key: jax.Array, h: int, w: int, glints: bool
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                               jnp.ndarray, jax.Array]:
+    """The DR scene's physical layers, pre-composite: (diffuse (h,w,3),
+    spec (h,w), tint (3,), noise_sigma (), noise_key).
 
-    camera = clip(photometrics(texture + bright distractors) + specular);
-    the label is the specular field alone — distractors and photometric
-    randomization must not move it.
+    Shared by the camera composite (synth_scene_dr — the SpecSeg curriculum)
+    and the polarimetric view-stack builder (synth_scene_views_dr — the GAN
+    curriculum). The 12-way key split is kept IDENTICAL to the original
+    synth_scene_dr so round-3 artifacts and goldens reproduce bit-for-bit.
     """
     (k_tex, k_nd, k_dreg, k_ds, k_spec, k_tint, k_exp, k_gam, k_vig,
      k_nsig, k_noise, k_glint) = jax.random.split(key, 12)
@@ -259,14 +262,110 @@ def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
     if glints:  # dr2: overlay the dense micro-glint layer (static flag)
         spec = spec + glint_field(k_glint, h, w)
     tint = 1.0 - jax.random.uniform(k_tint, (3,), minval=0.0, maxval=0.08)
-    camera = diffuse + spec[..., None] * tint
-
     nsig = jax.random.uniform(k_nsig, (), minval=0.0, maxval=0.02)
+    return diffuse, spec, tint, nsig, k_noise
+
+
+def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DR scene -> (camera (h,w,3) in [0,1], mask (h,w,1)).
+
+    camera = clip(photometrics(texture + bright distractors) + specular);
+    the label is the specular field alone — distractors and photometric
+    randomization must not move it.
+    """
+    diffuse, spec, tint, nsig, k_noise = _scene_dr_parts(key, h, w, glints)
+    camera = diffuse + spec[..., None] * tint
     camera = camera + nsig * jax.random.normal(k_noise, camera.shape)
     camera = jnp.clip(camera, 0.0, 1.0)
 
     mask = (spec > 0.25).astype(jnp.float32)[..., None]
     return camera, mask
+
+
+def synth_scene_views_dr(key: jax.Array, h: int, w: int, glints: bool = True
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]:
+    """One DR scene as a POLARIMETRIC stack -> (views (4,h,w,3), diffuse
+    (h,w,3), mask (h,w,1), camera (h,w,3)) — the GAN-phase DR curriculum
+    (VERDICT r3 next #4).
+
+    Same physical model as the base synth_scene (shared diffuse, per-view
+    Malus-law gains on a tinted additive specular — synthetic_jax.py:93-118,
+    reference utils.py:68-123) but with the DR scene statistics that fixed
+    SpecSeg's real-photo transfer: texture families, bright-but-diffuse
+    distractors, photometric randomization, super-Gaussian/plateau/glint
+    speculars. The generator trained on the base curriculum alone damages
+    non-specular photo content (outside-mask PSNR 18.9 dB uncomposited,
+    benchmarks/quality_ood) because it never saw bright diffuse regions it
+    must PRESERVE; these scenes make preservation part of the loss.
+
+    Per-view sensor noise is drawn independently per view (a polarization
+    camera reads four sensor quadrants), so ED=min inherits realistic noise
+    floors instead of a single shared realization.
+    """
+    diffuse, spec, tint, nsig, k_noise = _scene_dr_parts(key, h, w, glints)
+    k_phi, k_pol = jax.random.split(jax.random.fold_in(key, 7))
+    phi = jax.random.uniform(k_phi, (), minval=0.0, maxval=jnp.pi)
+    pol_frac = jax.random.uniform(k_pol, (), minval=0.6, maxval=0.95)
+
+    from shmgan_tpu.data.synthetic_jax import _VIEW_ANGLES_RAD
+    angles = jnp.asarray(_VIEW_ANGLES_RAD)
+    gains = (1 - pol_frac) * 0.5 + pol_frac * jnp.cos(angles - phi) ** 2
+    spec_rgb = spec[..., None] * tint
+    views = diffuse[None] + spec_rgb[None] * gains[:, None, None, None]
+    views = views + nsig * jax.random.normal(k_noise, views.shape)
+    views = jnp.clip(views, 0.0, 1.0)
+
+    camera = diffuse + spec_rgb * jnp.max(gains)
+    camera = camera + nsig * jax.random.normal(
+        jax.random.fold_in(k_noise, 1), camera.shape)
+    camera = jnp.clip(camera, 0.0, 1.0)
+
+    mask = (spec > 0.25).astype(jnp.float32)[..., None]
+    return views, diffuse, mask, camera
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "h", "w", "ed_mode",
+                                             "camera_swap_prob", "base_mix",
+                                             "glints"))
+def synth_views_batch_dr(key: jax.Array, batch: int, h: int, w: int,
+                         ed_mode: str = "min",
+                         camera_swap_prob: float = 0.0,
+                         base_mix: float = 0.5,
+                         glints: bool = True) -> jnp.ndarray:
+    """(5, B, h, w, 3) GAN training batch mixing base and DR scene statistics.
+
+    floor(batch * base_mix) samples come from the base curriculum
+    (synthetic_jax.synth_views_batch — keeps the proven in-distribution
+    regime), the rest are DR polarimetric stacks (synth_scene_views_dr).
+    ed_mode/camera_swap_prob apply to both halves exactly as in the base
+    batch builder.
+    """
+    from shmgan_tpu.data.synthetic_jax import synth_views_batch
+
+    n_base = int(batch * base_mix)
+    n_dr = batch - n_base
+    k_base, k_dr, k_swap = jax.random.split(key, 3)
+
+    parts = []
+    if n_base > 0:
+        parts.append(synth_views_batch(k_base, n_base, h, w, ed_mode=ed_mode,
+                                       camera_swap_prob=camera_swap_prob))
+    if n_dr > 0:
+        views, diffuse, _mask, camera = jax.vmap(
+            lambda k: synth_scene_views_dr(k, h, w, glints=glints))(
+            jax.random.split(k_dr, n_dr))
+        views = jnp.moveaxis(views, 0, 1)                   # (4, B, h, w, 3)
+        if camera_swap_prob > 0.0:
+            k_u, k_slot = jax.random.split(k_swap)
+            do_swap = (jax.random.uniform(k_u, (n_dr,)) < camera_swap_prob)
+            slot = jax.random.randint(k_slot, (n_dr,), 0, 4)
+            sel = (jnp.arange(4)[:, None] == slot[None, :]) & do_swap[None, :]
+            views = jnp.where(sel[..., None, None, None], camera[None], views)
+        ed = diffuse if ed_mode == "diffuse" else jnp.min(views, axis=0)
+        parts.append(jnp.concatenate([views, ed[None]], axis=0))
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit,

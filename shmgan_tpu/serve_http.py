@@ -306,6 +306,12 @@ def make_server(cfg: Config, g_params, specseg_vars, host: str = "127.0.0.1",
                 with stats_lock:
                     payload = dict(stats)
                 payload["device_calls"] = frontend.device_calls
+                with native_shapes_lock:
+                    # distinct bucketed shapes compiled so far vs the budget —
+                    # the native-resolution capacity metric (each bucket paid
+                    # one XLA compile; serve_native_ab.py reads this)
+                    payload["native_shapes"] = len(native_shapes)
+                    payload["native_shape_budget"] = max_native_shapes
                 self._json(200, payload)
             else:
                 self._json(404, {"error": f"unknown path {path}"})

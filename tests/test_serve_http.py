@@ -103,6 +103,15 @@ class TestHTTPServing:
         assert payload["requests"] >= 3
         assert payload["latency_ema_ms"] > 0
 
+    def test_stats_reports_native_bucket_usage(self, server):
+        """serve_native_ab.py reads compiled-bucket count vs budget off
+        /stats; both keys must always be present (0 before any native
+        request)."""
+        with urllib.request.urlopen(server + "/stats", timeout=60) as r:
+            payload = json.loads(r.read())
+        assert payload["native_shape_budget"] >= 1
+        assert 0 <= payload["native_shapes"] <= payload["native_shape_budget"]
+
     def test_engine_pool_second_size(self, server):
         # requesting a new size compiles a second engine in the pool
         from PIL import Image

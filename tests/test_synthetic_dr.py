@@ -157,3 +157,85 @@ def test_pure_base_mix_equals_base_batch():
     k_base, _ = jax.random.split(k)
     y_b, m_b = synth_specseg_batch(k_base, 4, H, W)
     assert jnp.allclose(y_dr, y_b) and jnp.array_equal(m_dr, m_b)
+
+
+# ---------------------------------------------------------------------------
+# GAN-phase DR curriculum (VERDICT r3 next #4)
+# ---------------------------------------------------------------------------
+
+def test_views_scene_dr_contract():
+    from shmgan_tpu.data.synthetic_dr import synth_scene_views_dr
+    views, diffuse, mask, camera = synth_scene_views_dr(
+        jax.random.PRNGKey(3), H, W)
+    assert views.shape == (4, H, W, 3)
+    assert diffuse.shape == (H, W, 3) and camera.shape == (H, W, 3)
+    assert mask.shape == (H, W, 1)
+    for x in (views, diffuse, camera):
+        assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
+    # Malus-law modulation: the four views DIFFER inside the specular region
+    spread = (views.max(0) - views.min(0)) * mask
+    assert float(spread.max()) > 0.05
+
+
+def test_views_scene_dr_preserves_base_scene_reproducibility():
+    """The _scene_dr_parts refactor must keep synth_scene_dr bit-identical:
+    the camera composite equals what the pre-refactor 12-way key split
+    produced (pinned by the scene-determinism + mask tests above), and the
+    views builder's diffuse layer matches the camera's non-specular pixels."""
+    from shmgan_tpu.data.synthetic_dr import (synth_scene_dr,
+                                              synth_scene_views_dr)
+    k = jax.random.PRNGKey(11)
+    cam, mask = synth_scene_dr(k, H, W, glints=True)
+    views, diffuse, mask_v, _camera = synth_scene_views_dr(k, H, W,
+                                                           glints=True)
+    assert jnp.array_equal(mask, mask_v)  # same spec field => same label
+    # outside the mask (and its additive skirt), camera ~= diffuse + noise
+    outside = (mask_v[..., 0] == 0.0)
+    diff = jnp.abs(cam - diffuse).max(-1) * outside
+    assert float(jnp.median(diff[outside])) < 0.3
+
+
+def test_views_batch_dr_shapes_and_mix():
+    from shmgan_tpu.data.synthetic_dr import synth_views_batch_dr
+    out = synth_views_batch_dr(jax.random.PRNGKey(5), 4, H, W, base_mix=0.5)
+    assert out.shape == (5, 4, H, W, 3)
+    assert out.dtype == jnp.float32
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_views_batch_dr_ed_is_min_over_views():
+    from shmgan_tpu.data.synthetic_dr import synth_views_batch_dr
+    out = synth_views_batch_dr(jax.random.PRNGKey(6), 4, H, W, base_mix=0.0,
+                               ed_mode="min")
+    assert jnp.allclose(out[4], jnp.min(out[:4], axis=0))
+
+
+def test_views_batch_dr_pure_base_equals_base_builder():
+    from shmgan_tpu.data.synthetic_dr import synth_views_batch_dr
+    from shmgan_tpu.data.synthetic_jax import synth_views_batch
+    k = jax.random.PRNGKey(7)
+    out_dr = synth_views_batch_dr(k, 4, H, W, base_mix=1.0)
+    k_base = jax.random.split(k, 3)[0]
+    out_b = synth_views_batch(k_base, 4, H, W)
+    assert jnp.allclose(out_dr, out_b)
+
+
+def test_views_batch_dr_feeds_train_step():
+    """The DR batch is a drop-in for the fused train step (the whole point)."""
+    import dataclasses
+    from shmgan_tpu.config import Config
+    from shmgan_tpu.data.synthetic_dr import synth_views_batch_dr
+    from shmgan_tpu.train.state import create_train_state
+    from shmgan_tpu.train.step import make_train_step
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=32, filter_size=8,
+                                    specseg_base_filters=4)
+    cfg.train = dataclasses.replace(cfg.train, batch_size=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    views = synth_views_batch_dr(jax.random.PRNGKey(1), 2, 32, 32,
+                                 base_mix=0.5)
+    step = jax.jit(make_train_step(cfg))
+    state2, m = step(state, views, jax.random.PRNGKey(2),
+                     jnp.zeros((), jnp.int32))
+    assert np.isfinite(float(m["total_G"]))
+    assert np.isfinite(float(m["total_D"]))
