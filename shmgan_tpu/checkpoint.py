@@ -269,9 +269,9 @@ def specseg_in_channels_of(specseg_vars: Any) -> int:
     msgpack-restored state dict — same key layout), read off the first conv
     kernel's shape (HWIO -> index 2). Lets every surface distinguish 1-channel
     (parity) and 2-channel (chroma-input, ops/specprior.py) nets without
-    re-reading the weight file."""
-    return int(np.asarray(
-        specseg_vars["params"]["down0"]["conv0"]["kernel"]).shape[2])
+    re-reading the weight file. Shape-only, so it is safe on jit tracers
+    (eval/fid.py calls it inside compiled oracles)."""
+    return int(specseg_vars["params"]["down0"]["conv0"]["kernel"].shape[2])
 
 
 def specseg_msgpack_in_channels(path: str) -> int:

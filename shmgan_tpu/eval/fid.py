@@ -74,13 +74,19 @@ def specseg_features(specseg_vars, rgb: jnp.ndarray,
     (standardized luma, train/step.py:113-116 / infer.py:49-53), so the
     embedding sees its training distribution.
     """
+    from shmgan_tpu.checkpoint import specseg_in_channels_of
     from shmgan_tpu.models import SpecSeg
     from shmgan_tpu.ops.color import rgb_to_yuv
+    from shmgan_tpu.ops.specprior import specseg_net_input
     from shmgan_tpu.ops.standardize import per_image_standardization
 
     net = SpecSeg(base_filters=base_filters)
     y, _ = per_image_standardization(rgb_to_yuv(rgb)[..., 0:1])
-    _, state = net.apply(specseg_vars, y, train=False,
+    # chroma-input nets (2 channels) embed through the same input they were
+    # trained on; the channel count is read off the variable tree itself so
+    # every FID caller works with either net generation
+    net_in = specseg_net_input(y, rgb, specseg_in_channels_of(specseg_vars))
+    _, state = net.apply(specseg_vars, net_in, train=False,
                          capture_intermediates=True, mutable=["intermediates"])
     feats = state["intermediates"]["bottom"]["__call__"][0]
     return jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
