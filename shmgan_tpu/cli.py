@@ -113,7 +113,8 @@ def _restored_state(cfg: Config):
                                specseg_vars=specseg_vars)
     ckpt = CheckpointManager(cfg.train.checkpoint_save_dir,
                              max_to_keep=cfg.train.checkpoint_max_to_keep)
-    restored = ckpt.restore(state, include_ema=cfg.eval.use_ema)
+    restored = ckpt.restore(state, step=cfg.eval.checkpoint_step or None,
+                            include_ema=cfg.eval.use_ema)
     if restored is not None:
         state = restored
         if cfg.eval.use_ema and state.ema_g_params is not None:

@@ -235,6 +235,11 @@ class EvalConfig:
     # storage dtype for --mode export bundles ("" = keep the train dtype;
     # "float16" halves the artifact — loads cast back to float32)
     export_dtype: str = ""
+    # restore this specific checkpoint step for test/serve/export (0 = the
+    # latest). The trainer's keep-3 window usually holds the multi-metric
+    # BEST step (quality_train.is_better_checkpoint) alongside the last one —
+    # deploy the best, not merely the newest.
+    checkpoint_step: int = 0
 
 
 @dataclass
@@ -326,6 +331,10 @@ class Config:
                        choices=["", "float16", "bfloat16"],
                        help="storage dtype for --mode export bundles "
                             "(halves the artifact; loads cast to float32)")
+        p.add_argument("--checkpoint_step", type=int, default=0,
+                       help="restore this checkpoint step for test/serve/"
+                            "export (0 = latest; keep-3 usually holds the "
+                            "multi-metric best step too)")
         p.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["float32", "bfloat16"])
         p.add_argument("--upsample_mode", type=str, default="conv_transpose",
@@ -374,7 +383,8 @@ class Config:
             specseg_weights=a.specseg_weights, use_ema=a.use_ema,
             native_resolution=a.native_resolution, mask_tta=a.mask_tta,
             mask_chroma_prior=a.mask_chroma_prior,
-            export_dtype=a.export_dtype)
+            export_dtype=a.export_dtype,
+            checkpoint_step=a.checkpoint_step)
         cfg.serve = dataclasses.replace(
             cfg.serve, host=a.serve_host, port=a.serve_port,
             batch_size=a.serve_batch_size, watch_dir=a.serve_watch_dir,

@@ -94,3 +94,10 @@ class TestServeConfig:
         cli.main(["--mode", "serve", "--serve_port", "9002",
                   "--serve_host", "127.0.0.1"])
         assert calls["http"] == ("127.0.0.1", 9002, 1)
+
+
+def test_checkpoint_step_flag_wires_to_eval_config():
+    from shmgan_tpu.config import Config
+    cfg = Config.from_args(["--mode", "export", "--checkpoint_step", "17500"])
+    assert cfg.eval.checkpoint_step == 17500
+    assert Config.from_args(["--mode", "export"]).eval.checkpoint_step == 0
