@@ -68,26 +68,35 @@ from shmgan_tpu.data.synthetic import synth_polar_batch
 from shmgan_tpu.train.state import create_train_state
 from shmgan_tpu.train.step import make_train_step
 
-dtype, batch, iters, warmup = {dtype!r}, {batch}, {iters}, 3
-cfg = Config()
-cfg.model = dataclasses.replace(cfg.model, compute_dtype=dtype,
-                                image_size={image_size})
-cfg.train = dataclasses.replace(cfg.train, batch_size=batch, remat={remat!r})
-state = create_train_state(cfg, jax.random.PRNGKey(0))
-step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-views = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=0))
-epoch = jnp.zeros((), jnp.int32)
-rngs = jax.random.split(jax.random.PRNGKey(1), iters + warmup)
-for i in range(warmup):
-    state, m = step(state, views, rngs[i], epoch)
-float(m["total_G"])  # hard sync via value fetch
-t0 = time.perf_counter()
-for i in range(iters):
-    state, m = step(state, views, rngs[warmup + i], epoch)
-float(m["total_G"])  # donated-state chain serializes all steps
-dt = time.perf_counter() - t0
-print(json.dumps({{"images_per_sec": batch * iters / dt,
-                   "step_ms": dt / iters * 1e3}}))
+# One subprocess measures SEVERAL (dtype, batch, remat) rows back to back —
+# the interpreter+relay startup (~15s) and the import cost amortize over the
+# whole list instead of being paid per row (VERDICT r4 next #5: the 9-section
+# suite outran the driver's budget at 7/9).
+rows = {rows!r}
+image_size, iters, warmup = {image_size}, {iters}, 2
+out = {{}}
+for name, dtype, batch, remat in rows:
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, compute_dtype=dtype,
+                                    image_size=image_size)
+    cfg.train = dataclasses.replace(cfg.train, batch_size=batch, remat=remat)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    views = jnp.asarray(synth_polar_batch(batch, image_size, seed=0))
+    epoch = jnp.zeros((), jnp.int32)
+    rngs = jax.random.split(jax.random.PRNGKey(1), iters + warmup)
+    for i in range(warmup):
+        state, m = step(state, views, rngs[i], epoch)
+    float(m["total_G"])  # hard sync via value fetch
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, views, rngs[warmup + i], epoch)
+    float(m["total_G"])  # donated-state chain serializes all steps
+    dt = time.perf_counter() - t0
+    out[name + "_images_per_sec"] = batch * iters / dt
+    out[name + "_step_ms"] = dt / iters * 1e3
+    del state, step, views  # free donated buffers before the next row
+print(json.dumps(out))
 """
 
 _SCAN_TRAIN_SNIPPET = """
@@ -135,30 +144,37 @@ from shmgan_tpu.train.state import create_train_state
 # Iterations are chained INSIDE one jit (lax.scan with the output feeding the
 # next input) so the measurement excludes host dispatch entirely: this host
 # reaches the TPU through a relay whose per-dispatch round-trip (~55ms) would
-# otherwise swamp the ~1-2ms on-chip latency.
-batch, iters, key = {batch}, 50, {key!r}
+# otherwise swamp the ~1-2ms on-chip latency. All infer rows share one
+# subprocess (startup amortization, VERDICT r4 next #5).
+rows = {rows!r}
 cfg = Config()
 state = create_train_state(cfg, jax.random.PRNGKey(0))
-infer = make_infer_fn(cfg, outputs={outputs!r})
-rgb = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=1)[0])
+out = {{}}
+def make_chained(infer, key, iters):
+    @jax.jit
+    def chained(g_params, specseg_vars, rgb):
+        def body(carry, _):
+            o = infer(g_params, specseg_vars, carry)
+            nxt = rgb + 0.0 * o[key][..., :1].mean()
+            return nxt, o[key][0, 0, 0, 0]
+        _, ys = jax.lax.scan(body, rgb, None, length=iters)
+        return ys
+    return chained
 
-@jax.jit
-def chained(g_params, specseg_vars, rgb):
-    def body(carry, _):
-        out = infer(g_params, specseg_vars, carry)
-        nxt = rgb + 0.0 * out[key][..., :1].mean()
-        return nxt, out[key][0, 0, 0, 0]
-    _, ys = jax.lax.scan(body, rgb, None, length=iters)
-    return ys
-
-ys = chained(state.g_params, state.specseg_vars, rgb)
-float(ys[0])  # warmup + compile
-t0 = time.perf_counter()
-ys = chained(state.g_params, state.specseg_vars, rgb)
-float(ys[-1])
-dt = time.perf_counter() - t0
-print(json.dumps({{"images_per_sec": batch * iters / dt,
-                   "latency_ms": dt / iters * 1e3}}))
+for name, batch, key, outputs in rows:
+    infer = make_infer_fn(cfg, outputs=outputs)
+    rgb = jnp.asarray(synth_polar_batch(batch, cfg.model.image_size, seed=1)[0])
+    iters = 50
+    chained = make_chained(infer, key, iters)
+    ys = chained(state.g_params, state.specseg_vars, rgb)
+    float(ys[0])  # warmup + compile
+    t0 = time.perf_counter()
+    ys = chained(state.g_params, state.specseg_vars, rgb)
+    float(ys[-1])
+    dt = time.perf_counter() - t0
+    out[name + "_images_per_sec"] = batch * iters / dt
+    out[name + "_latency_ms"] = dt / iters * 1e3
+print(json.dumps(out))
 """
 
 
@@ -274,7 +290,11 @@ def _wait_for_exclusive() -> bool:
 # path whose number is the benchmark's headline; everything after it only adds
 # detail. A driver kill after any completed section still leaves a valid
 # summary line on stdout. Each entry: (display name, result key prefix,
-# snippet, result-field map).
+# snippet, result-field map | None). fields=None merges every key of the
+# subprocess's JSON as-is (the folded multi-row sections emit pre-prefixed
+# keys). Round-5 restructure (VERDICT r4 next #5): 9 sections -> 4
+# subprocesses so interpreter+relay startup amortizes and the whole suite
+# fits the driver's kill budget.
 SECTIONS = [
     # The PRODUCTION dispatch path: K steps chained in one lax.scan program
     # with the fused Pallas instance-norm kernel — exactly how
@@ -287,49 +307,40 @@ SECTIONS = [
      _SCAN_TRAIN_SNIPPET.format(dtype="bfloat16", batch=24, remat="none",
                                 image_size=128, k=100, pallas=True),
      {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
-    # round-2 batch sweep found b24 the throughput sweet spot (b32 regresses:
-    # XLA's per-image HBM traffic grows and peak memory nearly doubles)
-    ("train bf16 b24", "train_bf16_b24",
-     _TRAIN_SNIPPET.format(dtype="bfloat16", batch=24, remat="none",
-                           iters=20, image_size=128),
-     {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
-    ("train bf16 b16", "train_bf16_b16",
-     _TRAIN_SNIPPET.format(dtype="bfloat16", batch=16, remat="none",
-                           iters=20, image_size=128),
-     {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
-    ("train f32 b8", "train_f32_b8",
-     _TRAIN_SNIPPET.format(dtype="float32", batch=8, remat="none",
-                           iters=20, image_size=128),
-     {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
-    # remat=models recomputes the heavy model forwards in the backward instead
-    # of storing activations — trades idle MXU FLOPs for HBM traffic (the
-    # bound resource; DESIGN.md roofline) and frees memory for larger batches.
-    # Numerics identical (tests/test_remat.py). Headline takes the max.
-    ("train bf16 b32 remat", "train_bf16_b32_remat",
-     _TRAIN_SNIPPET.format(dtype="bfloat16", batch=32, remat="models",
-                           iters=20, image_size=128),
-     {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
+    # Per-step detail rows, ONE subprocess: b24 sweet spot (b32 regresses),
+    # b16/f32 history rows, b32+remat (recomputes model forwards in the
+    # backward — trades MXU FLOPs for HBM traffic; numerics identical,
+    # tests/test_remat.py).
+    ("train detail 128px (b24/b16/f32/b32r)", "train_detail",
+     _TRAIN_SNIPPET.format(rows=[
+         ("train_bf16_b24", "bfloat16", 24, "none"),
+         ("train_bf16_b16", "bfloat16", 16, "none"),
+         ("train_f32_b8", "float32", 8, "none"),
+         ("train_bf16_b32_remat", "bfloat16", 32, "models"),
+     ], iters=10, image_size=128),
+     None),
     # Flagship-resolution section (VERDICT r2 weak #7). The round-3 256px
     # sweeps found remat a pure loss at 256 and the batch frontier at b24
     # no-remat. Reported in detail; NOT headline-eligible (the headline and
     # vs_baseline stay defined at the reference's 128px).
     ("train256 bf16 b24", "train256_bf16_b24",
-     _TRAIN_SNIPPET.format(dtype="bfloat16", batch=24, remat="none",
-                           iters=10, image_size=256),
-     {"images_per_sec": "images_per_sec", "step_ms": "step_ms"}),
-    ("infer b1", "infer_b1",
-     _INFER_SNIPPET.format(batch=1, key="gen_rgb", outputs=None),
-     {"images_per_sec": "images_per_sec", "latency_ms": "latency_ms"}),
-    ("infer b8", "infer_b8",
-     _INFER_SNIPPET.format(batch=8, key="gen_rgb", outputs=None),
-     {"images_per_sec": "images_per_sec"}),
-    # The SERVING graph: only the keys the HTTP/folder paths consume, so XLA
-    # prunes the denorm/composited branches (serve_http builds its engines
-    # with exactly this outputs tuple).
-    ("infer b8 serving outputs", "infer_b8_serving",
-     _INFER_SNIPPET.format(batch=8, key="gen_rgb_calibrated",
-                           outputs=("gen_rgb_calibrated", "mask")),
-     {"images_per_sec": "images_per_sec"}),
+     _TRAIN_SNIPPET.format(rows=[
+         ("train256_bf16_b24", "bfloat16", 24, "none"),
+     ], iters=8, image_size=256),
+     None),
+    # Inference rows, ONE subprocess. infer_b8_gen_rgb is the pruned
+    # single-output graph (the r2-comparable row — VERDICT r4 weak #1's
+    # regression tracker); infer_b8_serving is exactly the outputs tuple
+    # serve_http compiles.
+    ("infer suite (b1/b8/serving/gen_rgb)", "infer_suite",
+     _INFER_SNIPPET.format(rows=[
+         ("infer_b1", 1, "gen_rgb", None),
+         ("infer_b8", 8, "gen_rgb", None),
+         ("infer_b8_serving", 8, "gen_rgb_calibrated",
+          ("gen_rgb_calibrated", "mask")),
+         ("infer_b8_gen_rgb", 8, "gen_rgb", ("gen_rgb",)),
+     ]),
+     None),
 ]
 
 # 256px rows are detail-only: headline/vs_baseline stay defined at the
@@ -377,8 +388,11 @@ def main():
     for i, (name, prefix, code, fields) in enumerate(SECTIONS):
         out = _run_section(name, code)
         if out:
-            for src, dst in fields.items():
-                results[f"{prefix}_{dst}"] = out[src]
+            if fields is None:   # folded section: keys arrive pre-prefixed
+                results.update(out)
+            else:
+                for src, dst in fields.items():
+                    results[f"{prefix}_{dst}"] = out[src]
         # Emit the running summary only once a headline-eligible number
         # exists: a summary with value=0.0 would record a false measurement,
         # while no line at all is correctly treated as a failed bench.

@@ -128,18 +128,32 @@ def main(argv=None):
                 "recall": round(inter / float(max(rb.sum(), 1.0)), 4),
                 "pred_fraction": round(float(pb.mean()), 4)}
 
+    THRESH_GRID = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
     def make_row(ood_pred, ph_pred, meta):
         row = dict(meta)
         row["synthetic_ood_vs_gt"] = iou_pr(ood_pred, ood_mask)
+        # PHOTO-FREE operating-point selection (VERDICT r4 next #4): pick the
+        # threshold maximizing IoU on the synthetic-OOD probe (disjoint
+        # family, GT masks — no real-photo leakage), then report the photo
+        # metrics AT that threshold. The shipped default 0.5 was never
+        # optimized; the r4 sweep showed photo IoU still rising at 0.7.
+        ood_by_t = {str(t): iou_pr(ood_pred, ood_mask, t)["iou"]
+                    for t in THRESH_GRID}
+        best_t = float(max(ood_by_t, key=ood_by_t.get))
+        row["ood_iou_by_threshold"] = ood_by_t
+        row["ood_selected_threshold"] = best_t
         if ph_pred is not None:
             row["real_photos_vs_reference_masks"] = iou_pr(
                 ph_pred, crops["ref_masks"])
+            row["real_photos_at_ood_threshold"] = iou_pr(
+                ph_pred, crops["ref_masks"], best_t)
             # operating-curve diagnostic: where does the IoU peak sit? (a
             # net whose best threshold is far from 0.5 is mis-calibrated,
             # one whose peak IoU is low is mis-shaped)
             row["photo_iou_by_threshold"] = {
                 str(t): iou_pr(ph_pred, crops["ref_masks"], t)["iou"]
-                for t in (0.1, 0.2, 0.3, 0.5, 0.7)}
+                for t in THRESH_GRID}
             # dilation diagnostic: if the net's hits sit INSIDE the
             # reference regions (adjacency-limited recall), growing the
             # prediction recovers IoU; if whole components are missed,
@@ -198,7 +212,8 @@ def main(argv=None):
             agg = {"n_seeds": len(paths), "tta": "tta" in suffix,
                    "prior": "prior" in suffix}
             for section in ("synthetic_ood_vs_gt",
-                            "real_photos_vs_reference_masks"):
+                            "real_photos_vs_reference_masks",
+                            "real_photos_at_ood_threshold"):
                 if section not in seed_rows[0]:
                     continue
                 agg[section] = {}

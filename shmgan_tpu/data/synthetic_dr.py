@@ -96,8 +96,67 @@ def _tex_gradient(key: jax.Array, h: int, w: int) -> jnp.ndarray:
     return (c0 + t[..., None] * (c1 - c0))
 
 
-def _texture(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+def _tex_spectrum(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """1/f^alpha power-spectrum texture — the natural-image statistic
+    (round-5 dr3 curriculum, VERDICT r4 next #4).
+
+    Real photographs have amplitude spectra ~ |f|^-alpha with alpha ~= 1.0-1.4
+    (Ruderman/Field natural-image statistics); every existing family (value
+    noise, Voronoi flats, stripes, gradients) is spectrally far from that, and
+    SpecSeg's residual real-photo false fires sit exactly on texture
+    statistics it never saw. Shaped in the frequency domain: white noise
+    filtered by f^-alpha, min-max normalized, then mapped through a random
+    two-color ramp (real photos have strongly correlated RGB channels)."""
+    k_n, k_a, k_c0, k_c1 = jax.random.split(key, 4)
+    alpha = jax.random.uniform(k_a, (), minval=0.8, maxval=1.8)
+    white = jax.random.normal(k_n, (h, w))
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.rfftfreq(w)[None, :]
+    f = jnp.sqrt(fy * fy + fx * fx)
+    amp = jnp.maximum(f, 1.0 / max(h, w)) ** (-alpha)
+    tex = jnp.fft.irfft2(jnp.fft.rfft2(white) * amp, s=(h, w))
+    lo, hi = jnp.min(tex), jnp.max(tex)
+    t = (tex - lo) / jnp.maximum(hi - lo, 1e-6)
+    c0 = jax.random.uniform(k_c0, (3,), minval=0.02, maxval=0.55)
+    c1 = jax.random.uniform(k_c1, (3,), minval=0.4, maxval=0.97)
+    return c0 + t[..., None] * (c1 - c0)
+
+
+def _tex_photo(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """Photo-statistics composite: a 1/f background with a second region
+    carrying a DIFFERENT texture family behind an object-like soft boundary
+    (smooth-noise level set). Real photos are piecewise: distinct objects
+    with their own statistics meeting at edges — a cue no single-family
+    texture provides."""
+    k_bg, k_fg, k_pick, k_m, k_lv = jax.random.split(key, 5)
+    bg = _tex_spectrum(k_bg, h, w)
+    idx = jax.random.randint(k_pick, (), 0, 4)
+    fg = jax.lax.switch(idx, [
+        lambda k: _tex_value_noise(k, h, w),
+        lambda k: _tex_voronoi(k, h, w),
+        lambda k: _tex_stripes(k, h, w),
+        lambda k: _tex_spectrum(k, h, w),
+    ], k_fg)
+    level = jax.random.uniform(k_lv, (), minval=0.35, maxval=0.65)
+    m = jax.nn.sigmoid((smooth_noise(k_m, h, w, 1)[..., 0] - level) * 24.0)
+    return bg * (1.0 - m[..., None]) + fg * m[..., None]
+
+
+def _texture(key: jax.Array, h: int, w: int,
+             photo: bool = False) -> jnp.ndarray:
     k_pick, k_tex = jax.random.split(key)
+    if photo:
+        # dr3: half the scenes get the photo-statistics composite, the rest
+        # draw uniformly from the four dr families (coverage keeps the dr/dr2
+        # regimes in-distribution)
+        idx = jax.random.randint(k_pick, (), 0, 8)
+        return jax.lax.switch(jnp.minimum(idx, 4), [
+            lambda k: _tex_value_noise(k, h, w),
+            lambda k: _tex_voronoi(k, h, w),
+            lambda k: _tex_stripes(k, h, w),
+            lambda k: _tex_gradient(k, h, w),
+            lambda k: _tex_photo(k, h, w),
+        ], k_tex)
     idx = jax.random.randint(k_pick, (), 0, 4)
     return jax.lax.switch(idx, [
         lambda k: _tex_value_noise(k, h, w),
@@ -221,7 +280,8 @@ def glint_field(key: jax.Array, h: int, w: int) -> jnp.ndarray:
     return jnp.sum(spots * active * amp[:, None, None], axis=0)
 
 
-def _scene_dr_parts(key: jax.Array, h: int, w: int, glints: bool
+def _scene_dr_parts(key: jax.Array, h: int, w: int, glints: bool,
+                    photo: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                jnp.ndarray, jax.Array]:
     """The DR scene's physical layers, pre-composite: (diffuse (h,w,3),
@@ -231,11 +291,14 @@ def _scene_dr_parts(key: jax.Array, h: int, w: int, glints: bool
     and the polarimetric view-stack builder (synth_scene_views_dr — the GAN
     curriculum). The 12-way key split is kept IDENTICAL to the original
     synth_scene_dr so round-3 artifacts and goldens reproduce bit-for-bit.
+    photo=True (dr3) swaps in the photo-statistics texture distribution
+    (1/f^alpha spectra + object-boundary composites) — everything downstream
+    (distractors, speculars, photometrics, labels) is unchanged.
     """
     (k_tex, k_nd, k_dreg, k_ds, k_spec, k_tint, k_exp, k_gam, k_vig,
      k_nsig, k_noise, k_glint) = jax.random.split(key, 12)
 
-    base = _texture(k_tex, h, w)
+    base = _texture(k_tex, h, w, photo=photo)
 
     # bright diffuse distractors: screen-blend toward white. Texture detail
     # survives inside (darker texels stay relatively darker) — the
@@ -266,7 +329,8 @@ def _scene_dr_parts(key: jax.Array, h: int, w: int, glints: bool
     return diffuse, spec, tint, nsig, k_noise
 
 
-def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
+def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False,
+                   photo: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DR scene -> (camera (h,w,3) in [0,1], mask (h,w,1)).
 
@@ -274,7 +338,8 @@ def synth_scene_dr(key: jax.Array, h: int, w: int, glints: bool = False
     the label is the specular field alone — distractors and photometric
     randomization must not move it.
     """
-    diffuse, spec, tint, nsig, k_noise = _scene_dr_parts(key, h, w, glints)
+    diffuse, spec, tint, nsig, k_noise = _scene_dr_parts(key, h, w, glints,
+                                                         photo=photo)
     camera = diffuse + spec[..., None] * tint
     camera = camera + nsig * jax.random.normal(k_noise, camera.shape)
     camera = jnp.clip(camera, 0.0, 1.0)
@@ -369,9 +434,11 @@ def synth_views_batch_dr(key: jax.Array, batch: int, h: int, w: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("batch", "h", "w", "base_mix", "glints"))
+                   static_argnames=("batch", "h", "w", "base_mix", "glints",
+                                    "photo"))
 def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
-                           base_mix: float = 0.5, glints: bool = False
+                           base_mix: float = 0.5, glints: bool = False,
+                           photo: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(standardized Y (B,h,w,1), mask (B,h,w,1)) mixing both curricula.
 
@@ -395,7 +462,8 @@ def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
         parts_y.append(y_b)
         parts_m.append(m_b)
     if n_dr > 0:
-        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints))(
+        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints,
+                                                     photo=photo))(
             jax.random.split(k_dr, n_dr))
         y = rgb_to_yuv(cam)[..., 0:1]
         y_std, _ = per_image_standardization(y)
@@ -405,9 +473,11 @@ def synth_specseg_batch_dr(key: jax.Array, batch: int, h: int, w: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("batch", "h", "w", "base_mix", "glints"))
+                   static_argnames=("batch", "h", "w", "base_mix", "glints",
+                                    "photo"))
 def synth_specseg_batch_dr_chroma(key: jax.Array, batch: int, h: int, w: int,
-                                  base_mix: float = 0.5, glints: bool = False
+                                  base_mix: float = 0.5, glints: bool = False,
+                                  photo: bool = False
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """((B,h,w,2) [standardized Y | chroma prior], mask (B,h,w,1)).
 
@@ -435,7 +505,8 @@ def synth_specseg_batch_dr_chroma(key: jax.Array, batch: int, h: int, w: int,
         parts_rgb.append(rgb_b)
         parts_m.append(m_b)
     if n_dr > 0:
-        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints))(
+        cam, m_d = jax.vmap(lambda k: synth_scene_dr(k, h, w, glints=glints,
+                                                     photo=photo))(
             jax.random.split(k_dr, n_dr))
         parts_rgb.append(cam)
         parts_m.append(m_d)

@@ -269,6 +269,29 @@ def bucket_shape(h: int, w: int, multiple: int = 16, bucket: int = 64):
             max(bucket, math.ceil(w / bucket) * bucket))
 
 
+def pad_to_bucket(rgb, multiple: int = 16, bucket: int = 64):
+    """Reflect-pad (B, h, w, 3) up to its compile-cache bucket shape.
+
+    Returns (rgb_padded, (h, w)). Reflection keeps the per-image
+    standardization statistics representative (an edge smear or zero fill
+    would bias stats.stddev, which scales the calibrated output). Shared by
+    make_native_infer_fn and the HTTP front-end — the latter pads in the
+    REQUEST thread so concurrent requests landing in the same bucket share
+    one exact shape and can batch into a single device call."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, np.float32)
+    _, h, w, _ = rgb.shape
+    ph, pw = bucket_shape(h, w, multiple=multiple, bucket=bucket)
+    if (ph, pw) == (h, w):
+        return rgb, (h, w)
+    # numpy reflect requires pad < dim; fall back to edge replication for
+    # the (tiny-image, big-bucket) corner
+    mode = "reflect" if (ph - h) < h and (pw - w) < w else "edge"
+    return np.pad(rgb, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                  mode=mode), (h, w)
+
+
 def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
                          multiple: int = 16, bucket: int = 64, outputs=None,
                          data_parallel: int = 1):
@@ -292,17 +315,7 @@ def make_native_infer_fn(cfg: Config, with_cyclic: bool = False,
                           data_parallel=data_parallel)
 
     def run(g_params, specseg_vars, rgb) -> Dict[str, "np.ndarray"]:
-        rgb = np.asarray(rgb, np.float32)
-        _, h, w, _ = rgb.shape
-        ph, pw = bucket_shape(h, w, multiple=multiple, bucket=bucket)
-        if (ph, pw) != (h, w):
-            # numpy reflect requires pad < dim; fall back to edge replication
-            # for the (tiny-image, big-bucket) corner
-            mode = "reflect" if (ph - h) < h and (pw - w) < w else "edge"
-            rgb_p = np.pad(rgb, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
-                           mode=mode)
-        else:
-            rgb_p = rgb
+        rgb_p, (h, w) = pad_to_bucket(rgb, multiple=multiple, bucket=bucket)
         out = infer(g_params, specseg_vars, jnp.asarray(rgb_p))
         cropped = {}
         for k, v in out.items():
