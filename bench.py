@@ -125,10 +125,16 @@ rngs = jax.random.split(jax.random.PRNGKey(1), k)
 epoch = jnp.zeros((), jnp.int32)
 state, m = scan_fn(state, batches, rngs, epoch)   # compile + warm
 float(m["total_G"][-1])
-t0 = time.perf_counter()
-state, m = scan_fn(state, batches, rngs, epoch)
-float(m["total_G"][-1])  # value fetch = hard sync
-dt = time.perf_counter() - t0
+# min of 2 timed reps: the round-5 infer attribution found the first timed
+# repetition in a process can run slow on this deployment (the 11s program
+# mostly amortizes the ramp, but the headline deserves the insurance)
+times = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    state, m = scan_fn(state, batches, rngs, epoch)
+    float(m["total_G"][-1])  # value fetch = hard sync
+    times.append(time.perf_counter() - t0)
+dt = min(times)
 print(json.dumps({{"images_per_sec": batch * k / dt,
                    "step_ms": dt / k * 1e3}}))
 """
@@ -146,6 +152,13 @@ from shmgan_tpu.train.state import create_train_state
 # reaches the TPU through a relay whose per-dispatch round-trip (~55ms) would
 # otherwise swamp the ~1-2ms on-chip latency. All infer rows share one
 # subprocess (startup amortization, VERDICT r4 next #5).
+#
+# Timing = MIN over 3 repetitions. Round-5 attribution
+# (benchmarks/infer_cost_table.json): the FIRST timed repetition of the first
+# program in a process runs ~2.4x slower than steady state on this
+# deployment; the single-rep protocol of rounds 3-4 reported that cold number
+# (infer b8 "regressed" 1909 -> 864 img/s while the steady-state graph never
+# changed speed — every output subset measures 2040-2115 img/s warm).
 rows = {rows!r}
 cfg = Config()
 state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -168,12 +181,16 @@ for name, batch, key, outputs in rows:
     chained = make_chained(infer, key, iters)
     ys = chained(state.g_params, state.specseg_vars, rgb)
     float(ys[0])  # warmup + compile
-    t0 = time.perf_counter()
-    ys = chained(state.g_params, state.specseg_vars, rgb)
-    float(ys[-1])
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ys = chained(state.g_params, state.specseg_vars, rgb)
+        float(ys[-1])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     out[name + "_images_per_sec"] = batch * iters / dt
     out[name + "_latency_ms"] = dt / iters * 1e3
+    out[name + "_first_rep_latency_ms"] = times[0] / iters * 1e3
 print(json.dumps(out))
 """
 
