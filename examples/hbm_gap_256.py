@@ -75,16 +75,27 @@ def main(argv=None):
     b, h = a.batch, a.image_size
     log(f"backend: {jax.default_backend()} batch={b} size={h} seg={a.seg}")
 
-    def build_cfg(g_ema: float):
+    def build_cfg(g_ema: float, trainer_flags: bool = True):
         cfg = Config()
         cfg.model = dataclasses.replace(
             cfg.model, image_size=h, filter_size=a.filter_size,
             specseg_base_filters=a.specseg_base_filters,
             compute_dtype="bfloat16",
             use_pallas_instance_norm=not a.cpu)
-        cfg.train = dataclasses.replace(
-            cfg.train, batch_size=b, scalar_channel_dropout=False,
-            live_g1=True, consistent_domains=True, g_ema=g_ema)
+        if trainer_flags:
+            # the quality trainer's graph: live_g1 (G gets gradients through
+            # the G1 pass -> its forward activations are STORED for the
+            # backward, where the bench's stopped-params G1 stores nothing)
+            # + the G1 L1/SSIM reconstruction objective
+            cfg.train = dataclasses.replace(
+                cfg.train, batch_size=b, scalar_channel_dropout=False,
+                live_g1=True, g1_recon_weight=10.0, single_input_prob=0.5,
+                consistent_domains=True, g_ema=g_ema)
+        else:
+            # bench.py's exact regime: Config() defaults (reference-parity
+            # flags) + batch/dtype only
+            cfg.train = dataclasses.replace(cfg.train, batch_size=b,
+                                            remat="none")
         return cfg
 
     def abstract_state(cfg):
@@ -131,7 +142,17 @@ def main(argv=None):
         with open(a.out, "w") as f:
             json.dump(results, f, indent=1)
 
-    # ---- bench graph: one step, batch as argument
+    # ---- bench.py's EXACT graph: one step, Config() default train flags
+    def bench_step_parity():
+        cfg = build_cfg(0.0, trainer_flags=False)
+        st = abstract_state(cfg)
+        step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        views = jax.ShapeDtypeStruct((cfg.model.c_dim, b, h, h, 3), jnp.float32)
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        ep = jax.ShapeDtypeStruct((), jnp.int32)
+        return step.lower(st, views, rng, ep).compile()
+
+    # ---- one step with the TRAINER's flags, batch as argument
     def bench_step():
         cfg = build_cfg(0.0)
         st = abstract_state(cfg)
@@ -185,6 +206,7 @@ def main(argv=None):
         ep = jax.ShapeDtypeStruct((), jnp.int32)
         return chunk.lower(st, steps, ep).compile()
 
+    run("bench_step_parity", bench_step_parity)
     run("bench_step", bench_step)
     run("scan_step", scan_step)
     run("trainer_base", lambda: trainer_chunk("base", 0.0))
