@@ -291,15 +291,21 @@ def make_train_step(cfg: Config, debug_grads: bool = False):
             {"G": state.g_params, "D": state.d_params})
 
         # ---- D update always; G update gated by epoch >= train_G_after (:865)
+        # updates apply dtype-preserving ((p+u).astype(p.dtype) — identity for
+        # the f32 default): keeps the step polymorphic in param dtype, so a
+        # bf16-params regime traces cleanly through the g_update/g_skip cond
+        # (the bare p+u promotes bf16+f32 -> f32 and the branches disagree)
         d_updates, d_opt_state = state.d_tx.update(grads["D"], state.d_opt_state,
                                                    state.d_params)
-        d_params = jax.tree_util.tree_map(lambda p, u: p + u, state.d_params, d_updates)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.d_params, d_updates)
 
         def g_update(_):
             g_updates, g_opt_state = state.g_tx.update(grads["G"], state.g_opt_state,
                                                        state.g_params)
-            g_params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                              state.g_params, g_updates)
+            g_params = jax.tree_util.tree_map(
+                lambda p, u: (p + u).astype(p.dtype),
+                state.g_params, g_updates)
             return g_params, g_opt_state
 
         def g_skip(_):
